@@ -1,0 +1,152 @@
+"""Golden + property tests for the deterministic extraction kernel.
+
+Mirrors the role of the reference's manual CLI harness (reference
+parse.py:254-281) — the only self-contained correctness tool there — but
+automated, as SURVEY.md §5.2 requires.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from llmap_spark import kernel
+
+
+PAGE = b"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>T</title>
+<script>var hidden = "never extracted";</script>
+<style>.x{color:red}</style></head><body>
+<header><h1>Big Site</h1><nav><ul>
+<li><a href="/a">Home</a></li><li><a href="/b">News</a></li></ul></nav></header>
+<main><article>
+<p>This is the first real paragraph of the article body with plenty of words
+to clear the minimum token threshold for keeping content blocks.</p>
+<p>Short linky bit.</p>
+<p>The second real paragraph also has enough running text to be treated as
+main content by the density classifier in the extraction kernel.</p>
+</article></main>
+<aside><a href="/ad1">Buy now</a><a href="/ad2">Click here</a></aside>
+<footer><p><a href="/p">privacy</a> | <a href="/t">terms</a></p></footer>
+</body></html>"""
+
+
+def test_extracts_main_content_drops_boilerplate():
+    r = kernel.extract_page(PAGE)
+    assert r.status == "ok"
+    assert "first real paragraph" in r.extracted_text
+    assert "second real paragraph" in r.extracted_text
+    assert "hidden" not in r.extracted_text
+    assert "Buy now" not in r.extracted_text
+    assert "privacy" not in r.extracted_text
+    assert "Home" not in r.extracted_text
+    assert r.n_blocks_kept >= 2
+    # blank-line stitching, document order
+    i1 = r.extracted_text.index("first real")
+    i2 = r.extracted_text.index("second real")
+    assert i1 < i2
+    assert "\n\n" in r.extracted_text
+
+
+def test_neighbor_rescue_two_pass():
+    # short middle block between two kept paragraphs is rescued (mirrors the
+    # reference's two-pass refine shape, prompts.py:104-117)
+    html = (
+        "<html><body>"
+        "<p>First long paragraph with clearly more than eight running words inside it.</p>"
+        "<p>tiny middle bridge text</p>"
+        "<p>Second long paragraph also with clearly more than eight running words here.</p>"
+        "</body></html>"
+    ).encode()
+    r = kernel.extract_page(html)
+    assert "tiny middle bridge text" in r.extracted_text
+    assert r.n_blocks_kept == 3
+    # without kept neighbors the same block is dropped
+    html2 = b"<html><body><p>tiny middle bridge text</p></body></html>"
+    r2 = kernel.extract_page(html2)
+    assert r2.extracted_text == ""
+
+
+def test_spans_point_into_decoded_doc():
+    dec = kernel.decode_html(PAGE)
+    blocks, body, perr = kernel.parse_blocks(dec.text)
+    keep = kernel.classify(blocks)
+    text, spans = kernel.stitch(blocks, keep)
+    assert body and not perr
+    for b, k in zip(blocks, keep):
+        assert 0 <= b.start < b.end <= len(dec.text)
+        raw = " ".join(dec.text[b.start:b.end].split())
+        # span covers [first text piece, last text piece] — intervening
+        # inline markup may sit inside, but the boundaries are exact
+        first, last = b.text.split()[0], b.text.split()[-1]
+        assert raw.startswith(first)
+        assert raw.endswith(last)
+    assert len(spans) == sum(keep)
+    assert spans == sorted(spans)  # document order
+
+
+def test_statuses():
+    assert kernel.extract_page(b"").status == "empty"
+    assert kernel.extract_page(None).status == "empty"
+    assert kernel.extract_page(b"   \n ").status == "empty"
+    assert kernel.extract_page(b"<p>no body tag here at all</p>").status == "no_body"
+    big = b"<html><body><p>" + b"word " * 300_000 + b"</p></body></html>"
+    assert kernel.extract_page(big).status == "truncated"
+    latin = b"<html><body><p>caf\xe9 latin bytes</p></body></html>"
+    assert kernel.extract_page(latin).status == "decode_replaced"
+
+
+def test_entities_and_charset():
+    html = b'<html><head><meta charset="latin-1"></head><body><p>' \
+           b'caf\xe9 &amp; cr&egrave;me br&#251;l&eacute;e with extra words to pass the filter</p></body></html>'
+    r = kernel.extract_page(html)
+    assert r.status == "ok"
+    assert "caf\xe9 & cr\xe8me br\xfbl\xe9e" in r.extracted_text
+
+
+def test_bounded_work_caps():
+    huge = b"<html><body><p>" + b"a" * (kernel.MAX_HTML_BYTES + 100) + b"</p></body></html>"
+    r = kernel.extract_page(huge)
+    assert r.status == "truncated"
+    assert len(r.extracted_text) <= kernel.MAX_TEXT_BYTES
+
+
+def test_determinism_repeat():
+    for _ in range(3):
+        a = kernel.extract_page(PAGE)
+        b = kernel.extract_page(PAGE)
+        assert a == b
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_total_on_arbitrary_bytes(data):
+    # kernel must never raise on any byte input (malformed-HTML totality)
+    r = kernel.extract_page(data)
+    assert isinstance(r.extracted_text, str)
+    assert r.status in {"ok", "empty", "parse_error", "truncated",
+                        "decode_replaced", "no_body"}
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="<>ab c/&#;p=\"'\n", max_size=2048))
+def test_total_on_taggy_text(txt):
+    r = kernel.extract_page(txt.encode("utf-8", "replace"))
+    assert isinstance(r.extracted_text, str)
+
+
+def test_integer_rule_equivalence():
+    # keep decisions must not depend on float densities (Arrow-boundary
+    # safety): re-derive from integer fields only and compare
+    dec = kernel.decode_html(PAGE)
+    blocks, _, _ = kernel.parse_blocks(dec.text)
+    keep = kernel.classify(blocks)
+    for b, k in zip(blocks, keep):
+        lines = (b.n_chars + 79) // 80
+        base = (b.candidate and b.n_tokens >= 8 and 3 * b.n_link_chars <= b.n_chars
+                and b.n_tokens >= 4 * lines)
+        if not base:
+            assert k in (True, False)  # rescue may flip; no float involved
+        else:
+            assert k
