@@ -1,0 +1,146 @@
+"""Iceberg-style snapshot commit layer over Parquet, with anti-join resume.
+
+No Iceberg runtime jars exist in this sandbox (SURVEY §4.3), so this module
+implements the same *contract* with plain Parquet + an atomic JSON manifest:
+
+  out_root/
+    data/snap-000001/        parquet written by Spark (extracted rows)
+    lineage/snap-000001/     parquet lineage rows for that snapshot
+    _snapshots/snapshot-000001.json   manifest — ATOMIC rename commit
+
+A snapshot exists iff its manifest file exists; data/lineage directories
+without a manifest are uncommitted garbage and are ignored by readers, which
+is what makes kill-at-any-point safe (single-writer rename atomicity).
+
+This replaces the reference's SQLite response cache as the resume mechanism
+(reference cache.py:55-89): the transform is deterministic, so committed
+output *is* the memo — resume = anti-join input urls against committed urls
+(reference analogue: cache hit check, client.py:88-98).
+
+On a real cluster the Reader/Writer pair swaps for an Iceberg catalog via
+--packages; the pipeline code above this interface does not change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from llmap_spark.kernel import KERNEL_VERSION
+from llmap_spark.plans.pipeline import ExtractConfig, extract, lineage_from
+
+MANIFEST_DIR = "_snapshots"
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    data_path: str
+    lineage_path: str
+    n_rows: int
+    kernel_version: str
+    parent_id: int | None
+
+
+def _root_dirs(out_root: str) -> tuple[Path, Path, Path]:
+    root = Path(out_root)
+    return root / "data", root / "lineage", root / MANIFEST_DIR
+
+
+def committed_snapshots(out_root: str) -> list[Snapshot]:
+    """All committed snapshots, ascending id. Ignores uncommitted dirs."""
+    _, _, mdir = _root_dirs(out_root)
+    if not mdir.is_dir():
+        return []
+    snaps = []
+    for f in sorted(mdir.glob("snapshot-*.json")):
+        m = json.loads(f.read_text())
+        snaps.append(Snapshot(
+            snapshot_id=m["snapshot_id"], data_path=m["data_path"],
+            lineage_path=m["lineage_path"], n_rows=m["n_rows"],
+            kernel_version=m["kernel_version"], parent_id=m.get("parent_id"),
+        ))
+    return snaps
+
+
+def read_extracted(spark: SparkSession, out_root: str) -> DataFrame | None:
+    """Union of all committed snapshots' data. None if no commits yet."""
+    snaps = committed_snapshots(out_root)
+    if not snaps:
+        return None
+    return spark.read.parquet(*[s.data_path for s in snaps])
+
+
+def read_lineage(spark: SparkSession, out_root: str) -> DataFrame | None:
+    snaps = committed_snapshots(out_root)
+    if not snaps:
+        return None
+    return spark.read.parquet(*[s.lineage_path for s in snaps])
+
+
+def run_extract_job(spark: SparkSession, pages: DataFrame, out_root: str,
+                    cfg: ExtractConfig = ExtractConfig()) -> Snapshot | None:
+    """Extract all not-yet-committed pages and commit one new snapshot.
+
+    Resume semantics: input is anti-joined against committed urls, so a
+    rerun after a crash (or a partial run via ``limit``) completes the
+    remainder without recomputing or duplicating anything. Returns the new
+    Snapshot, or None when everything is already committed.
+
+    Scale: the anti-join's build side is just committed urls (one string
+    column — column-pruned at scan). At 10^12 rows this is a shuffle-heavy
+    sort-merge anti-join; that is the price of exactly-once resume and it
+    only reads one column of the output table.
+    """
+    done = read_extracted(spark, out_root)
+    todo = pages if done is None else pages.join(
+        done.select("url"), on="url", how="left_anti")
+
+    snaps = committed_snapshots(out_root)
+    next_id = (snaps[-1].snapshot_id + 1) if snaps else 1
+    parent = snaps[-1].snapshot_id if snaps else None
+
+    data_dir, lin_dir, mdir = _root_dirs(out_root)
+    data_path = str(data_dir / f"snap-{next_id:06d}")
+    lin_path = str(lin_dir / f"snap-{next_id:06d}")
+
+    started = time.time()
+    ex = extract(todo, cfg)
+    ex.write.mode("overwrite").parquet(data_path)
+    finished = time.time()
+
+    # lineage is derived from the *written* files -> exactly consistent
+    written = spark.read.parquet(data_path)
+    n_rows = written.count()
+    if n_rows == 0:
+        return None  # nothing new; no empty snapshot
+    lineage = lineage_from(
+        written, snapshot_id=next_id,
+        started_at=_ts(started), finished_at=_ts(finished))
+    lineage.write.mode("overwrite").parquet(lin_path)
+
+    manifest = {
+        "snapshot_id": next_id,
+        "parent_id": parent,
+        "data_path": data_path,
+        "lineage_path": lin_path,
+        "n_rows": n_rows,
+        "kernel_version": KERNEL_VERSION,
+        "config": {"repartition": cfg.repartition, "n_salts": cfg.n_salts,
+                   "fuse": cfg.fuse, "hot_hosts": list(cfg.hot_hosts)},
+        "committed_at": _ts(finished),
+    }
+    mdir.mkdir(parents=True, exist_ok=True)
+    tmp = mdir / f".snapshot-{next_id:06d}.json.tmp"
+    tmp.write_text(json.dumps(manifest, indent=2))
+    os.rename(tmp, mdir / f"snapshot-{next_id:06d}.json")  # atomic commit
+    return Snapshot(next_id, data_path, lin_path, n_rows, KERNEL_VERSION, parent)
+
+
+def _ts(unix_seconds: float) -> str:
+    return time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(unix_seconds))

@@ -1,0 +1,59 @@
+"""Snapshot commit + anti-join resume (SURVEY §5.2 E2E: resume).
+
+Simulates a killed run: commit a partial snapshot, then rerun the same job
+and assert completion with no duplicate and no missing urls, and that
+already-committed urls were not recomputed (lineage row counts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llmap_spark.plans.pipeline import ExtractConfig
+from llmap_spark.sources import snapshot as snap
+
+
+def test_partial_then_resume(spark, pages_smoke, out_dir):
+    pages = spark.read.parquet(pages_smoke)
+    total = pages.count()
+
+    # run 1: only a prefix of the input "arrives" (simulated partial run)
+    part1 = pages.orderBy("url").limit(total // 3)
+    s1 = snap.run_extract_job(spark, part1, out_dir, ExtractConfig())
+    assert s1 is not None and s1.snapshot_id == 1
+    assert s1.n_rows == total // 3
+
+    # run 2: full input; resume must only process the remainder
+    s2 = snap.run_extract_job(spark, pages, out_dir, ExtractConfig())
+    assert s2 is not None and s2.snapshot_id == 2
+    assert s2.n_rows == total - total // 3
+
+    ex = snap.read_extracted(spark, out_dir)
+    assert ex.count() == total
+    assert ex.select("url").distinct().count() == total  # no dups/missing
+
+    # lineage consistent per snapshot, no double counting
+    lin = snap.read_lineage(spark, out_dir)
+    per_snap = {r.snapshot_id: r.n for r in
+                lin.groupBy("snapshot_id").agg(F.sum("n_rows").alias("n")).collect()}
+    assert per_snap == {1: total // 3, 2: total - total // 3}
+
+    # run 3: everything committed -> no new snapshot
+    s3 = snap.run_extract_job(spark, pages, out_dir, ExtractConfig())
+    assert s3 is None
+    assert len(snap.committed_snapshots(out_dir)) == 2
+
+
+def test_uncommitted_garbage_is_ignored(spark, pages_smoke, out_dir):
+    """Data dirs without a manifest (crash before rename) are invisible."""
+    import pathlib
+
+    pages = spark.read.parquet(pages_smoke)
+    s1 = snap.run_extract_job(spark, pages.limit(50), out_dir, ExtractConfig())
+    assert s1.n_rows == 50
+    # fake a crashed writer: data dir present, no manifest
+    ghost = pathlib.Path(out_dir) / "data" / "snap-000099"
+    ghost.mkdir(parents=True)
+    (ghost / "part-00000.parquet").write_bytes(b"not a real file")
+    assert len(snap.committed_snapshots(out_dir)) == 1
+    ex = snap.read_extracted(spark, out_dir)
+    assert ex.count() == 50
