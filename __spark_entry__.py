@@ -1,38 +1,504 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship extraction end-to-end on sf0.001.
+`queries()` exposes every implemented operator family (SURVEY.md §2 +
+training-data ops); `oracle_sql()` gives the DuckDB-equivalent SQL for
+each SQL-expressible query. Column names/aliases match exactly between
+the Spark and SQL sides (driver hashes values after sorting columns by
+name). Float-valued results are either quantized to integer arithmetic
+(portable across engines) or exposed as rows-only checks with pytest
+oracles instead (see tests/).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+EDGE_RESIDUES_SQL = "(7, 13, 17, 23, 29, 31, 37)"
+NORM_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"  # duckdb side
+CHUNK = 50  # words per chunk for explode_chunks
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.corpus import pages_path_for
+
+    return spark.read.parquet(pages_path_for(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction funnel over the sf0.001-derived synthetic
+    Common-Crawl-style corpus."""
+    from llmap_spark.plans.pipeline import ExtractConfig, extract
+
+    pages = _pages(spark, "/root/testdata/sf0.001")
+    return extract(pages, ExtractConfig()).select(
+        "url", "lang", "extracted_text", "n_blocks_kept",
+        "n_blocks_total", "status")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-0 pages carry the whole document text in one <p>; the
+    funnel must return exactly the normalized document text (the
+    SQL-expressible byte-identity oracle)."""
+    from llmap_spark.plans.pipeline import ExtractConfig, extract
+
+    ex = extract(_pages(spark, sf_dir), ExtractConfig())
+    # first copy of each doc only: page index == doc_id (template cycles
+    # (i // ndocs) % 8, so t0 recurs at copy 8 — the url carries both ids)
+    return (
+        ex.filter(F.col("url").like("%/t0/%"))
+        .filter(F.regexp_extract("url", r"/d(\d+)/p", 1)
+                == F.regexp_extract("url", r"/p(\d+)$", 1))
+        .select(
+            F.regexp_extract("url", r"/d(\d+)/p", 1).cast("long").alias("doc_id"),
+            "extracted_text")
+    )
+
+
+def _q_extract_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel e2e status distribution, pinned against an independent
+    arithmetic oracle (edge rows are injected at fixed residues)."""
+    from llmap_spark.plans.pipeline import ExtractConfig, extract
+
+    ex = extract(_pages(spark, sf_dir), ExtractConfig())
+    return ex.groupBy("status").agg(F.count("*").alias("n"))
+
+
+def _q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.plans.pipeline import ExtractConfig, extract
+
+    ex = extract(_pages(spark, sf_dir), ExtractConfig(fuse=True))
+    return ex.select("url", "lang", "extracted_text", "n_blocks_kept",
+                     "n_blocks_total", "status")
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.textstats import token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.textstats import quality_features
+
+    return quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_t", "n_tokens_t", "n_periods", "n_commas",
+        "n_stop_hits", "mwl_x100", "q_keep")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint", "rep_id", "is_dup")
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
+                               threshold_num=1, threshold_den=10)
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.dedup import simhash_candidates
+
+    return simhash_candidates(_docs(spark, sf_dir), max_hamming=8)
+
+
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.dedup import (connected_components,
+                                             simhash_candidates)
+
+    pairs = simhash_candidates(_docs(spark, sf_dir), max_hamming=8)
+    return connected_components(pairs)
+
+
+def _q_collate_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.binpack import collate_approx
+
+    return collate_approx(_docs(spark, sf_dir), "doc_id", "n_chars",
+                          budget=5000).select("doc_id", "group_id")
+
+
+def _q_group_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference group-by-file combine (llmap.py:204-215): per-key ordered
+    concatenation — determinism-by-sorting preserved."""
+    return (
+        _events(spark, sf_dir).groupBy("user_id")
+        .agg(F.expr(
+            "concat_ws(',', transform(array_sort(collect_list("
+            "struct(event_id, event_type))), x -> x.event_type))"
+        ).alias("journey"))
+    )
+
+
+def _q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc())
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming windowed aggregation; integer-exact
+    micro-sum so both engines hash identically."""
+    ev = _events(spark, sf_dir)
+    bucket = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+    return (
+        ev.groupBy(bucket.alias("win_start"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("sum_micros"))
+    )
+
+
+def _q_orders_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join chain over the star schema: dims are broadcast, the
+    fact table never shuffles for the join."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name").agg(F.count("*").alias("n_orders"))
+    )
+
+
+def _q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling (reference --sample, llmap.py:269-270 — made
+    reproducible: modulo on the key instead of RNG)."""
+    return _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0) \
+        .select("doc_id", "lang")
+
+
+def _q_explode_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference chunking (parse.py:242-252): one doc -> N bounded chunks,
+    here fixed 50-word windows via explode."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ").alias("_w"))
+    chunks = F.expr(
+        f"case when size(_w) > 0 and _w[0] <> '' then "
+        f"transform(sequence(1, cast(ceil(size(_w) / {CHUNK}.0) as int)), "
+        f"i -> concat_ws(' ', slice(_w, (i-1)*{CHUNK}+1, {CHUNK}))) "
+        "else array() end")
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select("doc_id", "chunk_idx", "chunk_text")
+    )
+
+
+def _q_union_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference parseable-vs-other partition + reunion (llmap.py:142-143,
+    173-174): disjoint filters off one scan, tagged, unioned."""
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("lang") == "en").select(
+        "doc_id", F.lit("parseable").alias("branch"))
+    b = d.filter(F.col("lang") != "en").select(
+        "doc_id", F.lit("passthrough").alias("branch"))
+    return a.unionByName(b)
+
+
+def _quantized(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        F.col("vec_id"),
+        F.expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+        .alias("qv"))
+
+
+def _q_embedding_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 neighbors by quantized-integer dot product: float32 ->
+    floor(x*1000) int64 makes the arithmetic engine-portable (the float
+    version is ann_brute_force, checked against numpy in pytest)."""
+    from pyspark.sql import Window
+
+    q = _quantized(_emb(spark, sf_dir))
+    a, b = q.alias("a"), q.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.qv", "b.qv", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("query_id"),
+                F.col("b.vec_id").alias("neighbor_id"), dot.alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3).select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def _q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.similarity import brute_force_topk
+
+    e = _emb(spark, sf_dir)
+    return brute_force_topk(spark, e, e, k=5).select(
+        "query_id", "neighbor_id", "rank")
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    return ivf_topk(spark, e, e, k=5, n_centroids=16, nprobe=8).select(
+        "query_id", "neighbor_id", "rank")
+
+
+def _q_multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.functions.multimodal import (sniff_media_type,
+                                                  with_media_features)
+
+    pages = _pages(spark, sf_dir)
+    feats = with_media_features(pages, "html", keep_cols=("url",))
+    types = pages.select("url", sniff_media_type(F.col("html")).alias("media_type"))
+    return types.join(feats, "url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # extraction funnel (SURVEY §2 #1-#28 composed)
+        "extract_roundtrip": _q_extract_roundtrip,
+        "extract_status_counts": _q_extract_status_counts,
+        "extract_full": _q_extract_full,
+        # text analysis
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_components": _q_dedup_components,
+        # reference operator analogues
+        "collate_binpack": _q_collate_binpack,
+        "group_combine": _q_group_combine,
+        "topk_per_user": _q_topk_per_user,
+        "windowed_events": _q_windowed_events,
+        "orders_per_region": _q_orders_per_region,
+        "sample_deterministic": _q_sample_deterministic,
+        "explode_chunks": _q_explode_chunks,
+        "union_passthrough": _q_union_passthrough,
+        # similarity search
+        "embedding_topk_int": _q_embedding_topk_int,
+        "ann_brute_force": _q_ann_brute_force,
+        "ann_ivf": _q_ann_ivf,
+        # multimodal plumbing
+        "multimodal_media_meta": _q_multimodal_media_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; tables pre-registered as views)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    w_norm = f"string_split({NORM_SQL}, ' ')"
+    return {
+        "extract_roundtrip": f"""
+            SELECT doc_id, {NORM_SQL} AS extracted_text
+            FROM documents
+            WHERE doc_id % 1000 NOT IN {EDGE_RESIDUES_SQL}
+        """,
+        "extract_status_counts": """
+            WITH t AS (SELECT 10 * count(*) AS tot FROM documents),
+            r AS (SELECT unnest([7, 13, 29, 31]) AS res,
+                         unnest(['empty','no_body','truncated','decode_replaced']) AS status
+                  FROM t),
+            e AS (SELECT status, (tot - res + 999) // 1000 AS n FROM r, t)
+            SELECT status, n FROM e
+            UNION ALL
+            SELECT 'ok' AS status, tot - (SELECT sum(n) FROM e) AS n FROM t
+        """,
+        "token_count": f"""
+            SELECT doc_id, CASE WHEN length({NORM_SQL}) = 0 THEN 0
+              ELSE CAST((length({NORM_SQL})
+                - length(replace({NORM_SQL}, ' ', ''))) AS int) + 1 END AS n_tokens
+            FROM documents
+        """,
+        "lang_id": """
+            WITH c AS (SELECT doc_id,
+              CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ','')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' and ','')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' of ','')))/4 AS int) AS c_en,
+              CAST((length(' '||text||' ') - length(replace(' '||text||' ',' der ','')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' und ','')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' die ','')))/5 AS int) AS c_de,
+              CAST((length(' '||text||' ') - length(replace(' '||text||' ',' le ','')))/4
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' et ','')))/4
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' les ','')))/5 AS int) AS c_fr,
+              CAST((length(' '||text||' ') - length(replace(' '||text||' ',' el ','')))/4
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' los ','')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' que ','')))/5 AS int) AS c_es
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                   WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                   WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS pred_lang
+            FROM c
+        """,
+        "quality_score": """
+            WITH q AS (SELECT doc_id,
+              CAST(length(text) AS int) AS n_chars_t,
+              CASE WHEN length(trim(regexp_replace(text,'\\s+',' ','g'))) = 0 THEN 0
+                ELSE CAST(length(trim(regexp_replace(text,'\\s+',' ','g')))
+                  - length(replace(trim(regexp_replace(text,'\\s+',' ','g')),' ','')) AS int) + 1
+                END AS n_tokens_t,
+              CAST(length(text) - length(replace(text,'.','')) AS int) AS n_periods,
+              CAST(length(text) - length(replace(text,',','')) AS int) AS n_commas,
+              CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ','')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' and ','')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' of ','')))/4
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' to ','')))/4
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' a ','')))/3
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' in ','')))/4 AS int) AS n_stop_hits
+              FROM documents)
+            SELECT doc_id, n_chars_t, n_tokens_t, n_periods, n_commas, n_stop_hits,
+              CASE WHEN n_tokens_t > 0
+                THEN CAST(floor((n_chars_t - (n_tokens_t - 1)) * 100 / n_tokens_t) AS int)
+                ELSE 0 END AS mwl_x100,
+              (n_tokens_t >= 10
+                AND (CASE WHEN n_tokens_t > 0
+                     THEN CAST(floor((n_chars_t - (n_tokens_t - 1)) * 100 / n_tokens_t) AS int)
+                     ELSE 0 END) BETWEEN 200 AND 1200
+                AND n_stop_hits >= 1) AS q_keep
+            FROM q
+        """,
+        "dedup_exact": f"""
+            SELECT doc_id, md5({NORM_SQL}) AS fingerprint,
+                   min(doc_id) OVER (PARTITION BY md5({NORM_SQL})) AS rep_id,
+                   doc_id <> min(doc_id) OVER (PARTITION BY md5({NORM_SQL})) AS is_dup
+            FROM documents
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH d AS (SELECT doc_id, {w_norm} AS w FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                                          i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS gram
+                  FROM d),
+            sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+            i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS union_sz
+            FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+            WHERE 10 * inter >= sa.sz + sb.sz - inter
+        """,
+        "collate_binpack": """
+            SELECT doc_id, CAST(floor(coalesce(sum(n_chars) OVER
+              (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / 5000) AS bigint) AS group_id
+            FROM documents
+        """,
+        "group_combine": """
+            SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS journey
+            FROM events GROUP BY user_id
+        """,
+        "topk_per_user": """
+            SELECT user_id, event_id, rnk FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC) AS rnk
+              FROM events) WHERE rnk <= 3
+        """,
+        "windowed_events": """
+            SELECT CAST(floor(epoch(ts) / 300) * 300 AS bigint) AS win_start,
+                   event_type, count(*) AS n_events,
+                   sum(CAST(floor(value * 1000000) AS bigint)) AS sum_micros
+            FROM events GROUP BY 1, 2
+        """,
+        "orders_per_region": """
+            SELECT r_name, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "sample_deterministic": """
+            SELECT doc_id, lang FROM documents WHERE doc_id % 20 = 0
+        """,
+        "explode_chunks": f"""
+            WITH d AS (SELECT doc_id, {w_norm} AS w FROM documents),
+            c AS (SELECT doc_id, w FROM d WHERE len(w) > 0 AND w[1] <> ''),
+            e AS (SELECT doc_id,
+                    unnest(generate_series(1, CAST(ceil(len(w) / {CHUNK}.0) AS int))) AS ci,
+                    unnest(list_transform(
+                      generate_series(1, CAST(ceil(len(w) / {CHUNK}.0) AS int)),
+                      i -> array_to_string(w[((i-1)*{CHUNK}+1):(i*{CHUNK})], ' '))) AS chunk_text
+                  FROM c)
+            SELECT doc_id, ci - 1 AS chunk_idx, chunk_text FROM e
+        """,
+        "union_passthrough": """
+            SELECT doc_id, 'parseable' AS branch FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT doc_id, 'passthrough' AS branch FROM documents WHERE lang <> 'en'
+        """,
+        "embedding_topk_int": """
+            WITH q AS (SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS double) * 1000) AS bigint)) AS v
+              FROM embeddings),
+            p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                    CAST(list_dot_product(a.v, b.v) AS bigint) AS dot
+                  FROM q a, q b WHERE a.vec_id <> b.vec_id)
+            SELECT query_id, neighbor_id, rnk FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dot DESC, neighbor_id ASC) AS rnk
+              FROM p) WHERE rnk <= 3
+        """,
+        # rows-only (genuinely non-SQL-expressible: hash-signature /
+        # iterative / float-ANN / fake-decode kernels; pytest carries
+        # their oracles instead — see tests/test_operators.py):
+        #   extract_full, dedup_minhash_lsh, dedup_simhash,
+        #   dedup_components, ann_brute_force, ann_ivf,
+        #   multimodal_media_meta
+    }

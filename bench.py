@@ -1,0 +1,119 @@
+"""Per-round benchmark harness.
+
+Runs the headline pipelines at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...,
+   "extracted_mb_per_sec": ...}
+
+Every timed query is materialized with the noop sink (full computation of
+every column, no disk variance); the flagship extraction is ALSO timed with
+a real parquet write (extract_staged_write) since the contract metric is
+end-to-end. Corpus generation is excluded from timings (cached generator).
+
+Scaling evidence (N vs 4N, BASELINE.md gate) lives in bench/scaling.py —
+it launches separate spark-submit processes per parallelism level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from llmap_spark.corpus import pages_path_for
+    from llmap_spark.session import get_spark, scan_conf_for
+
+    pages_path = pages_path_for(sf_dir)  # cached; generation not timed
+
+    spark = get_spark(app_name="llmap-bench", cores=cpus,
+                      extra_conf=scan_conf_for(pages_path, cpus))
+    from pyspark.sql import functions as F
+
+    from llmap_spark.operators.dedup import (exact_dedup,
+                                             minhash_lsh_candidates)
+    from llmap_spark.operators.similarity import brute_force_topk
+    from llmap_spark.operators.textstats import (fingerprint, lang_id,
+                                                 quality_features)
+    from llmap_spark.plans.pipeline import ExtractConfig, extract
+    import __spark_entry__ as entry
+
+    pages = spark.read.parquet(pages_path)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    n_pages = pages.count()
+    html_bytes = pages.agg(F.sum(F.length("html"))).collect()[0][0] or 0
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out_tmp = tempfile.mkdtemp(prefix="llmap_bench_")
+
+    def parquet_write(df):
+        df.write.mode("overwrite").parquet(f"{out_tmp}/extracted")
+
+    cfg = ExtractConfig(repartition=4 * cpus)
+    jobs = [
+        ("extract_staged_write", lambda: parquet_write(extract(pages, cfg))),
+        ("extract_fused", lambda: noop(extract(pages, ExtractConfig(
+            repartition=4 * cpus, fuse=True)))),
+        ("textstats", lambda: noop(
+            fingerprint(quality_features(lang_id(docs))))),
+        ("dedup_exact", lambda: noop(exact_dedup(docs))),
+        ("dedup_minhash_lsh", lambda: noop(minhash_lsh_candidates(docs))),
+        ("ann_brute_force", lambda: noop(
+            brute_force_topk(spark, emb, emb, k=10))),
+        ("windowed_events", lambda: noop(
+            entry._q_windowed_events(spark, sf_dir))),
+        ("topk_per_user", lambda: noop(
+            entry._q_topk_per_user(spark, sf_dir))),
+    ]
+
+    # warmup (untimed): python workers + codegen + shuffle spin-up, so the
+    # reported numbers are steady-state throughput
+    extract(pages.limit(2000), ExtractConfig(repartition=8)) \
+        .write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in jobs:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # throughput from the real-write flagship run
+    ex_sec = timings["extract_staged_write"]
+    extracted_bytes = (
+        spark.read.parquet(f"{out_tmp}/extracted")
+        .agg(F.sum(F.length("extracted_text"))).collect()[0][0] or 0)
+    shutil.rmtree(out_tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "end-to-end main-content extraction + training-data ops",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "n_pages": n_pages,
+        "pages_per_sec": round(n_pages / ex_sec, 1) if ex_sec else None,
+        "input_mb_per_sec": round(html_bytes / 1e6 / ex_sec, 1) if ex_sec else None,
+        "extracted_mb_per_sec": round(extracted_bytes / 1e6 / ex_sec, 2) if ex_sec else None,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

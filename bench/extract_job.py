@@ -1,0 +1,76 @@
+"""spark-submit job: run the extraction pipeline once, print one JSON line.
+
+Usage (normally via bench/scaling.py):
+    spark-submit --master local[N] --py-files engine.zip \
+        bench/extract_job.py <pages_dir> <out_dir> <repartition> <cores> [copies]
+
+Timing starts after warmup (python workers + codegen spun up) — the
+scaling contract is steady-state throughput, not JVM cold-start, which is
+identical at both cluster sizes. `copies` unions the input k times so
+compute dominates residual per-job overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main() -> int:
+    pages_path, out_dir = sys.argv[1], sys.argv[2]
+    repartition = int(sys.argv[3])
+    cores = int(sys.argv[4])
+    copies = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+
+    from llmap_spark.session import scan_conf_for
+
+    spark = (
+        SparkSession.builder.appName("llmap-extract-scaling")
+        .config(map=scan_conf_for(pages_path, cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from llmap_spark.plans.pipeline import ExtractConfig, extract
+
+    pages = spark.read.parquet(pages_path)
+    amplified = pages
+    for _ in range(copies - 1):
+        amplified = amplified.unionByName(pages)
+
+    # warmup (untimed)
+    extract(pages.limit(2000), ExtractConfig(repartition=cores)) \
+        .write.format("noop").mode("overwrite").save()
+
+    t0 = time.time()
+    ex = extract(amplified, ExtractConfig(repartition=repartition))
+    ex.write.mode("overwrite").parquet(out_dir)
+    elapsed = time.time() - t0
+
+    written = spark.read.parquet(out_dir)
+    n = written.count()
+    out_bytes = written.agg(F.sum(F.length("extracted_text"))).collect()[0][0] or 0
+    in_bytes = (pages.agg(F.sum(F.length("html"))).collect()[0][0] or 0) * copies
+
+    print(json.dumps({
+        "elapsed_sec": round(elapsed, 3),
+        "n_pages": n,
+        "input_bytes": int(in_bytes),
+        "extracted_bytes": int(out_bytes),
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "copies": copies,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,7 +24,7 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-CORPUS_VERSION = "1.0.0"
+CORPUS_VERSION = "1.2.0"
 SEED = 42
 EPOCH = datetime(2025, 1, 1)
 
@@ -143,9 +143,12 @@ def _edge_html(kind: str, doc_text: str, rng: random.Random) -> bytes:
 
 
 def generate_pages(sf_dir: str, out_path: str, pages_per_doc: int | None = None,
-                   batch_rows: int = 2000) -> str:
-    """Generate the pages parquet for one scale tier. Deterministic in
-    (sf_dir contents, pages_per_doc). Returns out_path."""
+                   batch_rows: int = 1000, n_files: int = 32) -> str:
+    """Generate the pages table for one scale tier as a DIRECTORY of
+    `n_files` parquet part files (WARC-segment-like layout: a single fat
+    file would cap Spark's scan parallelism at a handful of row-group
+    splits). Deterministic in (sf_dir contents, pages_per_doc, n_files).
+    Returns out_path (the directory)."""
     docs = pq.read_table(Path(sf_dir) / "documents.parquet",
                          columns=["doc_id", "text", "lang"])
     doc_ids = docs.column("doc_id").to_pylist()
@@ -153,14 +156,26 @@ def generate_pages(sf_dir: str, out_path: str, pages_per_doc: int | None = None,
     langs = docs.column("lang").to_pylist()
     ndocs = len(doc_ids)
     if pages_per_doc is None:
-        pages_per_doc = 1 if ndocs <= 500 and "0.001" in str(sf_dir) else 10
+        # uniform x10 across tiers so the arithmetic oracle (status counts
+        # etc.) can derive the page count from the documents table alone
+        pages_per_doc = 10
     n_pages = ndocs * pages_per_doc
 
     out = Path(out_path)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    writer = pq.ParquetWriter(out, PAGES_SCHEMA, compression="zstd")
+    out.mkdir(parents=True, exist_ok=True)
+    per_file = (n_pages + n_files - 1) // n_files
+    file_idx = 0
+    writer = pq.ParquetWriter(out / f"part-{file_idx:05d}.parquet",
+                              PAGES_SCHEMA, compression="zstd")
+    written_in_file = 0
     rows: list[dict] = []
     langpool = ["en", "de", "fr", "es"]
+
+    def _flush(w, pending):
+        if pending:
+            w.write_table(pa.Table.from_pylist(pending, schema=PAGES_SCHEMA))
+        return []
+
     try:
         for i in range(n_pages):
             rng = random.Random(SEED * 1_000_003 + i)
@@ -183,11 +198,18 @@ def generate_pages(sf_dir: str, out_path: str, pages_per_doc: int | None = None,
                 "text": doc_text,
                 "lang": lang,
             })
+            written_in_file += 1
             if len(rows) >= batch_rows:
-                writer.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA))
-                rows = []
-        if rows:
-            writer.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA))
+                rows = _flush(writer, rows)
+            if written_in_file >= per_file and i + 1 < n_pages:
+                rows = _flush(writer, rows)
+                writer.close()
+                file_idx += 1
+                writer = pq.ParquetWriter(
+                    out / f"part-{file_idx:05d}.parquet",
+                    PAGES_SCHEMA, compression="zstd")
+                written_in_file = 0
+        rows = _flush(writer, rows)
     finally:
         writer.close()
     return str(out)

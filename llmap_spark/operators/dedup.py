@@ -1,0 +1,319 @@
+"""Deduplication operators for web-scale text corpora.
+
+Five families, each with a distinct scale profile:
+
+  exact_dedup          md5 fingerprint + one shuffle (groupBy/window)
+  minhash_lsh          char-shingle MinHash signatures (pandas UDF) ->
+                       banded LSH bucket join -> candidate pairs with
+                       signature-estimated Jaccard (JVM zip_with)
+  simhash              64-bit SimHash (pandas UDF) -> 16-bit band blocking
+                       -> Hamming<=k verify via bit_count(xor) (JVM)
+  ngram_jaccard_pairs  exact word-trigram Jaccard via explode + equi-join,
+                       integer cross-multiplied threshold (SQL-oracle-able)
+  connected_components iterative min-label propagation over candidate
+                       pairs -> duplicate clusters (no GraphFrames dep)
+
+Scale notes baked in: LSH buckets are capped (hot-bucket skew guard),
+signatures travel as array<long> (Arrow-native), verification math stays
+JVM-side (zip_with / bit_count), and components iterate with AQE-friendly
+joins rather than driver-side union-find.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from llmap_spark.operators.textstats import fingerprint
+
+MERSENNE61 = (1 << 61) - 1
+EMPTY_SENTINEL = MERSENNE61  # signature value for shingle-less docs
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: adds `fingerprint`, `rep_id` (min id with
+    the same fingerprint) and `is_dup`. Exactly one shuffle (window over
+    fingerprint); AQE handles residual skew."""
+    out = fingerprint(df, text_col)
+    w = Window.partitionBy("fingerprint")
+    return (
+        out.withColumn("rep_id", F.min(id_col).over(w))
+        .withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# minhash + LSH
+# --------------------------------------------------------------------------
+
+def _hash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, MERSENNE61, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rs.randint(0, MERSENNE61, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+_FNV = np.uint64(1099511628211)
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Murmur3-style finalizer — vectorized, stable across workers."""
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= _MIX1
+    h ^= h >> np.uint64(33)
+    h *= _MIX2
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Stable byte-k-shingle 64-bit hashes, fully numpy-vectorized:
+    sliding windows x FNV-prime powers, then a murmur finalizer. (The
+    first draft hashed each shingle with blake2b in a Python loop —
+    ~300 digest calls per doc dominated the whole LSH stage.) Never
+    Python hash(): not stable across workers."""
+    t = " ".join(text.split()).lower()
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+    if b.size < k:
+        return np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    pw = _FNV ** np.arange(k, dtype=np.uint64)  # wraparound mod 2^64 is fine
+    h = _mix64((win * pw[None, :]).sum(axis=1, dtype=np.uint64))
+    return np.unique(h)
+
+
+def minhash_signature_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
+    """pandas_udf: text -> array<long> MinHash signature. The per-doc min
+    over (a*h+b) mod 2^61-1 is a vectorized numpy outer product."""
+    a, b = _hash_params(num_hashes, seed)
+
+    @pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = _shingle_hashes(t or "", shingle_k)
+            if h.size == 0:
+                out.append([EMPTY_SENTINEL] * num_hashes)
+                continue
+            # (num_hashes, n_shingles) — wraparound mult is fine pre-mod
+            m = (a[:, None] * h[None, :] + b[:, None]) % MERSENNE61
+            out.append(m.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_hashes: int = 64,
+                           bands: int = 16, shingle_k: int = 5,
+                           max_bucket: int = 200) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Returns (id_a, id_b, est_jaccard double) with id_a < id_b. est_jaccard
+    is the signature agreement fraction, computed JVM-side via zip_with —
+    no second Python pass. Buckets larger than `max_bucket` are dropped
+    (skew guard: a degenerate shingle bucket would otherwise create a
+    quadratic join blowup; dropped buckets mean those docs are near-dups of
+    *many* docs and are caught by other bands with overwhelming odds).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = df.select(F.col(id_col).alias("_id"),
+                    minhash_signature_udf(num_hashes, shingle_k)(F.col(text_col)).alias("sig"))
+    # the signature subtree feeds three consumers (bucket sizes + both join
+    # sides); persist it so the Python UDF runs exactly once per row
+    sig = sig.persist()
+    # band key: md5 of the band's signature slice, JVM-side
+    band_exprs = []
+    for bd in range(bands):
+        s = F.slice("sig", bd * rows_per_band + 1, rows_per_band)
+        band_exprs.append(F.struct(F.lit(bd).alias("band"),
+                                   F.md5(F.to_json(s)).alias("bh")))
+    exploded = (
+        sig.select("_id", "sig", F.explode(F.array(*band_exprs)).alias("bk"))
+        .select("_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    )
+    # hot-bucket guard
+    sizes = exploded.groupBy("band", "bh").count()
+    pruned = exploded.join(F.broadcast(sizes.filter(F.col("count") > max_bucket)),
+                           ["band", "bh"], "left_anti")
+    a = pruned.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"),
+                      "band", "bh")
+    b = pruned.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"),
+                      "band", "bh")
+    pairs = (
+        a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    return pairs.select(
+        "id_a", "id_b",
+        (agree / F.lit(float(num_hashes))).alias("est_jaccard"))
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+def simhash_udf(seed: int = 42):
+    """pandas_udf: text -> 64-bit SimHash (as signed long)."""
+
+    @pandas_udf("long")
+    def sim(texts: pd.Series) -> pd.Series:
+        # memoize word hashes per batch: web/word-soup text repeats a small
+        # vocabulary, so this cuts digest calls by ~100x
+        memo: dict[str, int] = {}
+
+        def whash(w: str) -> int:
+            h = memo.get(w)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+                memo[w] = h
+            return h
+
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = (t or "").lower().split()
+            if not words:
+                out[i] = 0
+                continue
+            hs = np.fromiter((whash(w) for w in words),
+                             dtype=np.uint64, count=len(words))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+            score = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+            v = 0
+            for bit in np.nonzero(score > 0)[0]:
+                v |= 1 << int(bit)
+            out[i] = np.int64(np.uint64(v).astype(np.int64))
+        return pd.Series(out)
+
+    return sim
+
+
+def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Blocking: 4 x 16-bit bands; by pigeonhole, any pair within Hamming 3
+    agrees exactly on at least one band, so banding loses nothing. Verify
+    is JVM-side bit_count(xor). Returns (id_a, id_b, hamming int).
+    """
+    s = df.select(F.col(id_col).alias("_id"),
+                  simhash_udf()(F.col(text_col)).alias("sh"))
+    bands = [
+        F.struct(F.lit(k).alias("band"),
+                 F.shiftrightunsigned("sh", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+        for k in range(4)
+    ]
+    e = s.select("_id", "sh", F.explode(F.array(*bands)).alias("bk")) \
+         .select("_id", "sh", "bk.band", "bk.key")
+    a = e.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")
+    b = e.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram jaccard (SQL-oracle-able)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold_num: int = 1, threshold_den: int = 2) -> DataFrame:
+    """Exact word-n-gram Jaccard >= num/den via explode + equi-join.
+
+    Pure DataFrame ops, integer threshold comparison (den*inter >=
+    num*union) — no floats, so the DuckDB oracle hashes identically.
+    At scale this is the verify stage after LSH; on its own it is
+    quadratic in bucket df and should follow a candidate filter.
+    """
+    words = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    # NB: sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so short texts
+    # need the explicit size guard rather than relying on an empty sequence.
+    gram_body = "concat_ws(' ', " + ", ".join(f"_w[i-1+{j}]" for j in range(n)) + ")"
+    grams = F.expr(
+        f"case when size(_w) >= {n} then "
+        f"transform(sequence(1, size(_w) - {n - 1}), i -> {gram_body}) "
+        "else array() end"
+    )
+    g = (
+        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .select("_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    )
+    sizes = g.groupBy("_id").agg(F.count("*").alias("sz"))
+    inter = (
+        g.alias("x").join(g.alias("y"), "gram")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.lit(threshold_den) * F.col("inter") >= F.lit(threshold_num) * F.col("union_sz"))
+        .select("id_a", "id_b", "inter", "union_sz")
+    )
+
+
+# --------------------------------------------------------------------------
+# clustering candidate pairs
+# --------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Duplicate clusters from candidate pairs: iterative min-label
+    propagation (label = smallest reachable id). Converges in
+    O(log(diameter)) rounds for dedup-shaped graphs (small dense clusters).
+
+    Each round is two shuffles (join + groupBy min). This replaces a
+    GraphFrames/union-find dependency; genuinely non-SQL-expressible, so
+    the driver records rows-only for it and pytest checks it against a
+    driver-side union-find on small data.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.a == labels.node)
+            .select(F.col("b").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("node", "label").union(prop)
+            .groupBy("node").agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -1,0 +1,109 @@
+"""Text analysis operators — 100% JVM-side expressions (no Python UDFs).
+
+Every rule here is integer arithmetic over `pyspark.sql.functions`
+primitives, so results are engine-portable (the DuckDB oracle runs the
+same formulas) and whole-stage-codegen keeps them at scan speed: these
+columns cost roughly nothing on top of reading the data.
+
+Reference analogue: token counting (`parse.py:17-18`) — the reference uses
+an HF tokenizer purely as a cost model; we use deterministic arithmetic
+(BASELINE.json de-LLM mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# language -> marker words (space-delimited occurrence counting).
+# Order is the deterministic tie-break: earlier wins ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "los", "que"),
+}
+
+
+def occurrences(col: Column, sub: str) -> Column:
+    """Count non-overlapping occurrences of `sub` via length arithmetic —
+    exact, portable to ANSI SQL, and codegen-friendly."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(sub)))) / F.lit(len(sub))
+    ).cast("int")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count as pure arithmetic: spaces+1 on a
+    squeezed string; 0 for empty/blank. Portable to the SQL oracle."""
+    squeezed = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.when(F.length(squeezed) == 0, F.lit(0)).otherwise(
+        occurrences(squeezed, " ") + F.lit(1)
+    ).cast("int")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer quality-signal columns: char/token counts, punctuation,
+    digits, stopword hits, mean word length x100 (integer), plus a boolean
+    `q_keep` gate typical of web-text filtering (Gopher/C4-style rules,
+    restated as integer comparisons)."""
+    c = F.col(text_col)
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    stop_hits = None
+    for w in ("the", "and", "of", "to", "a", "in"):
+        occ = occurrences(padded, f" {w} ")
+        stop_hits = occ if stop_hits is None else stop_hits + occ
+    out = (
+        df.withColumn("n_chars_t", F.length(c).cast("int"))
+        .withColumn("n_tokens_t", token_count(c))
+        .withColumn("n_periods", occurrences(c, "."))
+        .withColumn("n_commas", occurrences(c, ","))
+        .withColumn("n_stop_hits", stop_hits.cast("int"))
+    )
+    # mean word length x100, integer division (portable): chars-without-
+    # spaces * 100 / tokens
+    out = out.withColumn(
+        "mwl_x100",
+        F.when(F.col("n_tokens_t") > 0,
+               F.floor((F.col("n_chars_t") - (F.col("n_tokens_t") - 1))
+                       * F.lit(100) / F.col("n_tokens_t")).cast("int"))
+        .otherwise(F.lit(0)),
+    )
+    # keep gate: enough tokens, sane mean word length, some stopwords
+    return out.withColumn(
+        "q_keep",
+        (F.col("n_tokens_t") >= 10)
+        & (F.col("mwl_x100") >= 200) & (F.col("mwl_x100") <= 1200)
+        & (F.col("n_stop_hits") >= 1),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "pred_lang") -> DataFrame:
+    """N-gram-heuristic language id: count language marker words, argmax
+    with fixed tie-break order (en > de > fr > es). Deterministic, exact,
+    portable; scan-speed (codegen, no UDF)."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    counts = {}
+    for lang, words in LANG_MARKERS.items():
+        total = None
+        for w in words:
+            occ = occurrences(padded, f" {w} ")
+            total = occ if total is None else total + occ
+        counts[lang] = total.cast("int")
+        df = df.withColumn(f"lc_{lang}", counts[lang])
+    c = {k: F.col(f"lc_{k}") for k in LANG_MARKERS}
+    pred = (
+        F.when((c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["es"]), "en")
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]), "de")
+        .when(c["fr"] >= c["es"], "fr")
+        .otherwise("es")
+    )
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized text. Identical
+    in Spark and the SQL oracle; the basis for exact dedup."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(F.encode(norm, "UTF-8")))

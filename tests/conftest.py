@@ -25,7 +25,7 @@ def pages_smoke(tmp_path_factory) -> str:
     from llmap_spark.corpus import generate_pages
 
     out = tmp_path_factory.mktemp("pages") / "pages_smoke.parquet"
-    return generate_pages(SF_SMOKE, str(out))
+    return generate_pages(SF_SMOKE, str(out), pages_per_doc=1)
 
 
 @pytest.fixture()

@@ -8,8 +8,8 @@ from llmap_spark import corpus, kernel
 
 
 def test_schema_and_determinism(tmp_path):
-    p1 = corpus.generate_pages("/root/testdata/sf0.001", str(tmp_path / "a.parquet"))
-    p2 = corpus.generate_pages("/root/testdata/sf0.001", str(tmp_path / "b.parquet"))
+    p1 = corpus.generate_pages("/root/testdata/sf0.001", str(tmp_path / "a.parquet"), pages_per_doc=1)
+    p2 = corpus.generate_pages("/root/testdata/sf0.001", str(tmp_path / "b.parquet"), pages_per_doc=1)
     t1, t2 = pq.read_table(p1), pq.read_table(p2)
     assert t1.schema.equals(corpus.PAGES_SCHEMA)
     assert t1.equals(t2)  # byte-identical regeneration
@@ -19,7 +19,7 @@ def test_schema_and_determinism(tmp_path):
 
 
 def test_edge_rows_present(tmp_path):
-    p = corpus.generate_pages("/root/testdata/sf0.001", str(tmp_path / "c.parquet"))
+    p = corpus.generate_pages("/root/testdata/sf0.001", str(tmp_path / "c.parquet"), pages_per_doc=1)
     t = pq.read_table(p)
     urls = t.column("url").to_pylist()
     kinds = {u.split("/edge/")[1].split("/")[0] for u in urls if "/edge/" in u}
@@ -27,7 +27,7 @@ def test_edge_rows_present(tmp_path):
 
 
 def test_host_skew(tmp_path):
-    p = corpus.generate_pages("/root/testdata/sf0.001", str(tmp_path / "d.parquet"))
+    p = corpus.generate_pages("/root/testdata/sf0.001", str(tmp_path / "d.parquet"), pages_per_doc=1)
     urls = pq.read_table(p).column("url").to_pylist()
     from collections import Counter
 
@@ -40,7 +40,7 @@ def test_host_skew(tmp_path):
 def test_template0_roundtrip_invariant(tmp_path):
     """Pages i < ndocs (template 0, non-edge): extracted == normalized doc
     text. This is the SQL-expressible oracle invariant."""
-    p = corpus.generate_pages("/root/testdata/sf0.001", str(tmp_path / "e.parquet"))
+    p = corpus.generate_pages("/root/testdata/sf0.001", str(tmp_path / "e.parquet"), pages_per_doc=1)
     t = pq.read_table(p)
     docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
     texts = {d: x for d, x in zip(docs.column("doc_id").to_pylist(),

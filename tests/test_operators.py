@@ -1,0 +1,287 @@
+"""Operator tests against independent oracles (DuckDB SQL / numpy / pure
+Python), on the driver-provided sf0.001 documents + embeddings tables."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+# -- textstats --------------------------------------------------------------
+
+def test_token_count_vs_duckdb(spark, docs):
+    from llmap_spark.operators.textstats import token_count
+
+    got = {r.doc_id: r.n for r in
+           docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    want = {r[0]: r[1] for r in duckdb.sql(f"""
+        SELECT doc_id, CASE WHEN length(trim(regexp_replace(text,'\\s+',' ','g')))=0
+          THEN 0 ELSE cast((length(trim(regexp_replace(text,'\\s+',' ','g')))
+            - length(replace(trim(regexp_replace(text,'\\s+',' ','g')),' ','')))
+            AS int) + 1 END
+        FROM '{DOCS}'""").fetchall()}
+    assert got == want
+    # and equals python split() count
+    pyw = {r.doc_id: len((r.text or "").split()) for r in docs.collect()}
+    assert got == pyw
+
+
+def test_lang_id_deterministic_and_portable(spark, docs):
+    from llmap_spark.operators.textstats import lang_id
+
+    got = {r.doc_id: r.pred_lang for r in
+           lang_id(docs).select("doc_id", "pred_lang").collect()}
+    # python oracle with the same rule
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    markers = {"en": ("the", "and", "of"), "de": ("der", "und", "die"),
+               "fr": ("le", "et", "les"), "es": ("el", "los", "que")}
+    for d, t in rows.items():
+        pad = f" {t} "
+        cnt = {lg: sum(pad.count(f" {w} ") for w in ws)
+               for lg, ws in markers.items()}
+        if cnt["en"] >= cnt["de"] and cnt["en"] >= cnt["fr"] and cnt["en"] >= cnt["es"]:
+            want = "en"
+        elif cnt["de"] >= cnt["fr"] and cnt["de"] >= cnt["es"]:
+            want = "de"
+        elif cnt["fr"] >= cnt["es"]:
+            want = "fr"
+        else:
+            want = "es"
+        assert got[d] == want, d
+
+
+def test_fingerprint_matches_duckdb(spark, docs):
+    from llmap_spark.operators.textstats import fingerprint
+
+    got = {r.doc_id: r.fingerprint for r in
+           fingerprint(docs).select("doc_id", "fingerprint").collect()}
+    want = {r[0]: r[1] for r in duckdb.sql(f"""
+        SELECT doc_id, md5(trim(regexp_replace(text,'\\s+',' ','g')))
+        FROM '{DOCS}'""").fetchall()}
+    assert got == want
+
+
+# -- dedup ------------------------------------------------------------------
+
+def test_exact_dedup_finds_planted_dups(spark, docs):
+    from llmap_spark.operators.dedup import exact_dedup
+
+    # plant exact duplicates with new ids
+    dup = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 100000)
+    d = exact_dedup(docs.unionByName(dup))
+    dups = d.filter("is_dup").select("doc_id", "rep_id").collect()
+    assert len(dups) == 20
+    for r in dups:
+        assert r.doc_id == r.rep_id + 100000
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """Planted near-dups (doc text + small suffix) must be found."""
+    from llmap_spark.operators.dedup import minhash_lsh_candidates
+
+    near = (docs.limit(30)
+            .withColumn("doc_id", F.col("doc_id") + 100000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" tiny suffix"))))
+    allr = docs.unionByName(near)
+    cand = minhash_lsh_candidates(allr, num_hashes=64, bands=16)
+    pairs = {(r.id_a, r.id_b) for r in cand.filter("est_jaccard >= 0.5").collect()}
+    found = sum((d, d + 100000) in pairs for d in range(30))
+    assert found >= 27  # >=90% recall on planted near-dups
+    # est_jaccard should be high for planted pairs
+    ests = [r.est_jaccard for r in cand.collect()
+            if (r.id_a, r.id_b) in {(d, d + 100000) for d in range(30)}]
+    assert ests and min(ests) > 0.5
+
+
+def test_simhash_candidates(spark, docs):
+    from llmap_spark.operators.dedup import simhash_candidates
+
+    near = (docs.limit(20)
+            .withColumn("doc_id", F.col("doc_id") + 100000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zzz"))))
+    cand = simhash_candidates(docs.unionByName(near), max_hamming=6)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    found = sum((d, d + 100000) in pairs for d in range(20))
+    assert found >= 18
+    for r in cand.collect():
+        assert 0 <= r.hamming <= 6
+
+
+def test_ngram_jaccard_vs_duckdb(spark, docs):
+    from llmap_spark.operators.dedup import ngram_jaccard_pairs
+
+    small = docs.limit(60)
+    got = {(r.id_a, r.id_b, r.inter, r.union_sz) for r in
+           ngram_jaccard_pairs(small, n=3, threshold_num=1,
+                               threshold_den=10).collect()}
+    want = {tuple(r) for r in duckdb.sql(f"""
+      WITH d AS (SELECT doc_id, string_split(trim(regexp_replace(text,'\\s+',' ','g')),' ') w
+                 FROM '{DOCS}' WHERE doc_id < 60),
+      g AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, greatest(len(w)-2,0)),
+                                    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS gram
+            FROM d),
+      sz AS (SELECT doc_id, count(*) sz FROM g GROUP BY 1),
+      inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+                FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS union_sz
+      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE 10 * inter >= 1 * (sa.sz + sb.sz - inter)""").fetchall()}
+    assert got == want
+
+
+def test_connected_components_vs_union_find(spark):
+    from llmap_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (12, 11), (20, 21), (3, 4), (40, 41)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    # python union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+# -- similarity ---------------------------------------------------------------
+
+def _numpy_topk(vecs: dict, k: int):
+    ids = np.array(sorted(vecs))
+    m = np.array([vecs[i] for i in ids], dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = m @ m.T
+    out = {}
+    for qi, q in enumerate(ids):
+        order = sorted(
+            ((-sims[qi, j], ids[j]) for j in range(len(ids)) if ids[j] != q))
+        out[q] = [int(n) for _, n in order[:k]]
+    return out
+
+
+def test_brute_force_topk_vs_numpy(spark, emb):
+    from llmap_spark.operators.similarity import brute_force_topk
+
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    want = _numpy_topk(vecs, k=5)
+    got = {}
+    res = brute_force_topk(spark, emb, emb, k=5).collect()
+    for r in sorted(res, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert got == want
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF is an approximation whose quality depends on cluster structure;
+    the driver embeddings are isotropic noise (measured: intra-label and
+    inter-label cosine both ~0), where any IVF recall ~= nprobe/ncentroids
+    by construction. So recall is asserted on synthetic clustered vectors —
+    the regime IVF exists for."""
+    from llmap_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rs = np.random.RandomState(7)
+    centers = rs.normal(size=(8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        v = c + 0.15 * rs.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = brute_force_topk(spark, df, df, k=10).collect()
+    approx = ivf_topk(spark, df, df, k=10, n_centroids=16, nprobe=4).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert float(np.mean(recalls)) >= 0.9
+
+
+# -- binpack ------------------------------------------------------------------
+
+def test_collate_greedy_matches_reference_loop(spark, docs):
+    from llmap_spark.operators.binpack import collate_greedy, greedy_pack
+
+    got = {r.doc_id: r.group_id for r in
+           collate_greedy(docs, "doc_id", "n_chars", budget=5000).collect()}
+    rows = sorted((r.doc_id, r.n_chars) for r in docs.collect())
+    want = dict(zip([d for d, _ in rows],
+                    greedy_pack([c for _, c in rows], 5000)))
+    assert got == want
+
+
+def test_collate_approx_vs_duckdb(spark, docs):
+    from llmap_spark.operators.binpack import collate_approx
+
+    got = {r.doc_id: r.group_id for r in
+           collate_approx(docs, "doc_id", "n_chars", budget=5000).collect()}
+    want = {r[0]: r[1] for r in duckdb.sql(f"""
+        SELECT doc_id, cast(floor(coalesce(sum(n_chars) OVER
+          (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0)
+          / 5000) AS bigint)
+        FROM '{DOCS}'""").fetchall()}
+    assert got == want
+
+
+# -- multimodal ----------------------------------------------------------------
+
+def test_media_sniff_and_features(spark):
+    from llmap_spark.functions.multimodal import sniff_media_type, with_media_features
+
+    rows = [
+        (1, b"\xff\xd8\xff\xe0" + b"\x00" * 32),
+        (2, b"\x89PNG\r\n\x1a\n" + b"abc" * 10),
+        (3, b"<!DOCTYPE html><p>x</p>"),
+        (4, None),
+        (5, b"\x00\x01\x02\x03"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r.mt for r in
+           df.select("id", sniff_media_type(F.col("payload")).alias("mt")).collect()}
+    assert got == {1: "image/jpeg", 2: "image/png", 3: "text/html",
+                   4: None, 5: "application/octet-stream"}
+
+    feats = with_media_features(df, "payload", keep_cols=("id",))
+    out = {r.id: (r.n_bytes, r.entropy_x1000) for r in feats.collect()}
+    assert out[4] == (0, 0)
+    assert out[1][0] == 36
+    # determinism
+    out2 = {r.id: (r.n_bytes, r.entropy_x1000) for r in
+            with_media_features(df, "payload", keep_cols=("id",)).collect()}
+    assert out == out2
+
+
+def test_decode_image_is_marked_stub():
+    from llmap_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")

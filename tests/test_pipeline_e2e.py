@@ -39,7 +39,7 @@ def _assert_identical(got: dict, want: dict):
 
 
 def test_staged_matches_oracle(spark, pages_smoke, oracle_rows):
-    got = _run(spark, pages_smoke, ExtractConfig())
+    got = _run(spark, pages_smoke, ExtractConfig(fuse=False))
     _assert_identical(got, oracle_rows)
 
 
