@@ -9,7 +9,7 @@ Runs the headline pipelines at $SPARK_GRAFT_SF_DIR (default
 
 Every timed query is materialized with the noop sink (full computation of
 every column, no disk variance); the flagship extraction is ALSO timed with
-a real parquet write (extract_staged_write) since the contract metric is
+a real parquet write (extract_write) since the contract metric is
 end-to-end. Corpus generation is excluded from timings (cached generator).
 
 Scaling evidence (N vs 4N, BASELINE.md gate) lives in bench/scaling.py —
@@ -36,7 +36,8 @@ def main() -> int:
     pages_path = pages_path_for(sf_dir)  # cached; generation not timed
 
     spark = get_spark(app_name="llmap-bench", cores=cpus,
-                      extra_conf=scan_conf_for(pages_path, cpus))
+                      extra_conf={**scan_conf_for(pages_path, cpus),
+                                  "spark.sql.execution.arrow.maxRecordsPerBatch": "1024"})
     from pyspark.sql import functions as F
 
     from llmap_spark.operators.dedup import (exact_dedup,
@@ -62,11 +63,15 @@ def main() -> int:
     def parquet_write(df):
         df.write.mode("overwrite").parquet(f"{out_tmp}/extracted")
 
-    cfg = ExtractConfig(repartition=4 * cpus)
     jobs = [
-        ("extract_staged_write", lambda: parquet_write(extract(pages, cfg))),
-        ("extract_fused", lambda: noop(extract(pages, ExtractConfig(
-            repartition=4 * cpus, fuse=True)))),
+        # flagship: production config (fused kernel, map-only — source
+        # splits already saturate the cluster), real parquet write
+        ("extract_write", lambda: parquet_write(extract(pages, ExtractConfig()))),
+        # the mandated explicit salted url-hash repartition variant
+        ("extract_salted_shuffle", lambda: noop(extract(pages, ExtractConfig(
+            repartition=2 * cpus)))),
+        # the two-UDF funnel plan (block IR crosses Arrow twice)
+        ("extract_staged", lambda: noop(extract(pages, ExtractConfig(fuse=False)))),
         ("textstats", lambda: noop(
             fingerprint(quality_features(lang_id(docs))))),
         ("dedup_exact", lambda: noop(exact_dedup(docs))),
@@ -91,7 +96,7 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
 
     # throughput from the real-write flagship run
-    ex_sec = timings["extract_staged_write"]
+    ex_sec = timings["extract_write"]
     extracted_bytes = (
         spark.read.parquet(f"{out_tmp}/extracted")
         .agg(F.sum(F.length("extracted_text"))).collect()[0][0] or 0)

