@@ -37,11 +37,11 @@ JSON). Float densities are carried for inspection only.
 from __future__ import annotations
 
 import codecs
+import html as _htmlmod
 import re
-from html.parser import HTMLParser
 from typing import NamedTuple
 
-KERNEL_VERSION = "1.0.0"
+KERNEL_VERSION = "2.0.0"
 
 # --- bounded per-item work (reference parse.py:20-26 analogue) ------------
 MAX_HTML_BYTES = 1_000_000  # raw html byte cap per page
@@ -144,20 +144,15 @@ def decode_html(html: bytes | None, cap: int = MAX_HTML_BYTES) -> DecodeResult:
     return DecodeResult(text, truncated, "�" in text)
 
 
-class _BlockParser(HTMLParser):
-    """Streaming HTML -> document-ordered Block list.
+class _BlockSink:
+    """Document-ordered Block accumulator driven by the tag scanner.
 
-    convert_charrefs=False keeps getpos() per-callback accurate so block
-    spans are precise char offsets into the decoded document.
     Counters (not strict stacks) make unclosed/malformed tags harmless.
+    Offsets are char positions into the decoded document, supplied
+    directly by the scanner.
     """
 
-    def __init__(self, doc: str) -> None:
-        super().__init__(convert_charrefs=False)
-        self._line_starts = [0]
-        for i, ch in enumerate(doc):
-            if ch == "\n":
-                self._line_starts.append(i + 1)
+    def __init__(self) -> None:
         self.blocks: list[Block] = []
         self.body_seen = False
         self._skip = 0          # depth inside _SKIP_TAGS
@@ -165,20 +160,14 @@ class _BlockParser(HTMLParser):
         self._anchor = 0        # depth inside <a>
         self._depth = 0         # open-element depth
         self._tag = "body"      # block tag context for the next flush
-        self._pieces: list[tuple[str, bool]] = []  # (raw text, in_link)
+        self._pieces: list[tuple[str, bool]] = []  # (decoded text, in_link)
         self._start = -1        # char offset of first piece in current block
         self._end = -1          # char offset just past last piece
 
-    # -- offset helpers --
-    def _pos(self) -> int:
-        line, col = self.getpos()
-        return self._line_starts[line - 1] + col
-
     # -- block assembly --
-    def _add_piece(self, raw: str, raw_len: int) -> None:
+    def _add_piece(self, raw: str, pos: int, raw_len: int) -> None:
         if self._skip:
             return
-        pos = self._pos()
         if self._start < 0:
             self._start = pos
         self._end = pos + raw_len
@@ -213,8 +202,8 @@ class _BlockParser(HTMLParser):
         self._start = -1
         self._end = -1
 
-    # -- HTMLParser callbacks --
-    def handle_starttag(self, tag: str, attrs) -> None:
+    # -- scanner callbacks --
+    def start(self, tag: str) -> None:
         if tag == "body":
             self.body_seen = True
         if tag in _BLOCK_TAGS:
@@ -229,7 +218,7 @@ class _BlockParser(HTMLParser):
         if tag not in _VOID_TAGS:
             self._depth += 1
 
-    def handle_endtag(self, tag: str) -> None:
+    def end(self, tag: str) -> None:
         if tag in _BLOCK_TAGS:
             self._flush()
             self._tag = tag
@@ -242,39 +231,108 @@ class _BlockParser(HTMLParser):
         if tag not in _VOID_TAGS and self._depth:
             self._depth -= 1
 
-    def handle_startendtag(self, tag: str, attrs) -> None:
+    def startend(self, tag: str) -> None:
         if tag in _BLOCK_TAGS:
             self._flush()
             self._tag = tag
 
-    def handle_data(self, data: str) -> None:
-        if data:
-            self._add_piece(data, len(data))
+    def data(self, pos: int, raw: str) -> None:
+        if raw:
+            # entity decode only when present (html.unescape is regex-based
+            # and worth skipping for the common entity-free run)
+            decoded = _htmlmod.unescape(raw) if "&" in raw else raw
+            self._add_piece(decoded, pos, len(raw))
 
-    def handle_entityref(self, name: str) -> None:
-        import html as _html
-        self._add_piece(_html.unescape(f"&{name};"), len(name) + 2)
 
-    def handle_charref(self, name: str) -> None:
-        import html as _html
-        self._add_piece(_html.unescape(f"&#{name};"), len(name) + 3)
+# start-tag tail: attributes with quote-aware '>' detection; '/>' included
+_TAG_TAIL_RE = re.compile(r"""[^>"']*(?:"[^"]*"[^>"']*|'[^']*'[^>"']*)*>""")
+_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:_.-]*")
+# content of these elements is raw text: '<' inside does not open tags
+_RAWTEXT_TAGS = frozenset({"script", "style", "textarea", "title", "xmp"})
+
+
+def _scan(doc: str, sink: _BlockSink) -> None:
+    """Single-pass, quote-aware HTML tokenizer driving the sink.
+
+    Replaces html.parser (v1 kernel): str.find / compiled-regex driven,
+    ~4x faster on real pages, and offsets are native (no line/col
+    bookkeeping). Tolerant by construction: anything unrecognized after
+    '<' is treated as text; unterminated constructs run to end-of-doc.
+    """
+    low = doc.lower()  # case-insensitive tag searches; slices from `doc`
+    n = len(doc)
+    pos = 0
+    while pos < n:
+        lt = doc.find("<", pos)
+        if lt < 0:
+            sink.data(pos, doc[pos:n])
+            break
+        if lt > pos:
+            sink.data(pos, doc[pos:lt])
+        nxt = doc[lt + 1:lt + 2]
+        if nxt == "!":
+            if doc.startswith("<!--", lt):
+                e = doc.find("-->", lt + 4)
+                pos = n if e < 0 else e + 3
+            else:
+                e = doc.find(">", lt + 2)
+                pos = n if e < 0 else e + 1
+            continue
+        if nxt == "?":
+            e = doc.find(">", lt + 2)
+            pos = n if e < 0 else e + 1
+            continue
+        if nxt == "/":
+            m = _NAME_RE.match(low, lt + 2)
+            if m is None:  # "</" followed by junk -> text
+                sink.data(lt, doc[lt:lt + 2])
+                pos = lt + 2
+                continue
+            tag = m.group(0)
+            e = doc.find(">", m.end())
+            sink.end(tag)
+            pos = n if e < 0 else e + 1
+            continue
+        m = _NAME_RE.match(low, lt + 1)
+        if m is None:  # bare '<' -> text
+            sink.data(lt, doc[lt:lt + 1])
+            pos = lt + 1
+            continue
+        tag = m.group(0)
+        tail = _TAG_TAIL_RE.match(doc, m.end())
+        if tail is None:  # unclosed tag at EOF -> stop
+            break
+        end_pos = tail.end()
+        self_closing = doc[end_pos - 2:end_pos - 1] == "/"
+        if self_closing:
+            sink.startend(tag)
+        else:
+            sink.start(tag)
+            if tag in _RAWTEXT_TAGS:
+                close = low.find("</" + tag, end_pos)
+                if close < 0:
+                    sink.end(tag)  # unterminated raw text: skip to EOF
+                    break
+                gt = doc.find(">", close + 2 + len(tag))
+                sink.end(tag)
+                end_pos = n if gt < 0 else gt + 1
+        pos = end_pos
 
 
 def parse_blocks(doc: str) -> tuple[list[Block], bool, bool]:
     """Decoded html -> (blocks in document order, body_seen, parse_error).
 
-    Total: any parser exception yields ([], body_seen, True) rather than
+    Total: any scanner exception yields ([], body_seen, True) rather than
     raising (reference analogue: exceptions-as-data, exceptions.py:1-29 —
     a throwing Arrow UDF would kill the whole task batch).
     """
-    p = _BlockParser(doc)
+    sink = _BlockSink()
     try:
-        p.feed(doc)
-        p.close()
-        p._flush()
+        _scan(doc, sink)
+        sink._flush()
     except Exception:
-        return [], p.body_seen, True
-    return p.blocks, p.body_seen, False
+        return [], sink.body_seen, True
+    return sink.blocks, sink.body_seen, False
 
 
 def classify(blocks: list[Block]) -> list[bool]:
