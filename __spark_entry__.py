@@ -301,6 +301,50 @@ def _q_multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return types.join(feats, "url")
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.sessions import sessionize
+
+    return sessionize(_events(spark, sf_dir)).select(
+        "event_id", "user_id", "session_id")
+
+
+def _q_asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.sessions import asof_prior_event
+
+    return asof_prior_event(_events(spark, sf_dir)).select(
+        "event_id", "user_id", "prev_purchase_id")
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot (CASE-sum): one row per user with a count column per
+    event type — portable to the SQL oracle, unlike engine PIVOT syntax."""
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("long").alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return _events(spark, sf_dir).groupBy("user_id").agg(*aggs)
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style aggregate with INTEGER-exact money arithmetic:
+    cents = floor(price*100) is the same IEEE op in both engines, so
+    sums hash identically (no double-sum ordering hazard)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.floor(F.col("l_discount") * 100).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+             F.sum(cents).alias("sum_base_cents"),
+             F.sum(cents * (100 - disc_pct)).alias("sum_disc_units"),
+             F.count("*").alias("count_order"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction funnel (SURVEY §2 #1-#28 composed)
@@ -322,6 +366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_combine": _q_group_combine,
         "topk_per_user": _q_topk_per_user,
         "windowed_events": _q_windowed_events,
+        "sessionize": _q_sessionize,
+        "asof_prior_purchase": _q_asof_prior_purchase,
+        "pivot_event_counts": _q_pivot_event_counts,
+        "pricing_summary": _q_pricing_summary,
         "orders_per_region": _q_orders_per_region,
         "sample_deterministic": _q_sample_deterministic,
         "explode_chunks": _q_explode_chunks,
@@ -494,6 +542,45 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY dot DESC, neighbor_id ASC) AS rnk
               FROM p) WHERE rnk <= 3
+        """,
+        "sessionize": """
+            SELECT event_id, user_id,
+              CAST(sum(CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - prev_ts > 1800 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS bigint) AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                    lag(epoch(ts)) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+        """,
+        "asof_prior_purchase": """
+            SELECT event_id, user_id,
+              last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                         IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS prev_purchase_id
+            FROM events
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+              CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS bigint) AS n_click,
+              CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS bigint) AS n_error,
+              CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS bigint) AS n_purchase,
+              CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS bigint) AS n_signup,
+              CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS bigint) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              sum(CAST(l_quantity AS bigint)) AS sum_qty,
+              sum(CAST(floor(l_extendedprice * 100) AS bigint)) AS sum_base_cents,
+              sum(CAST(floor(l_extendedprice * 100) AS bigint)
+                  * (100 - CAST(floor(l_discount * 100) AS bigint))) AS sum_disc_units,
+              count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         # rows-only (genuinely non-SQL-expressible: hash-signature /
         # iterative / float-ANN / fake-decode kernels; pytest carries

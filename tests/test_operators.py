@@ -285,3 +285,45 @@ def test_decode_image_is_marked_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
+
+
+# -- sessions -----------------------------------------------------------------
+
+def test_sessionize_vs_python(spark):
+    from datetime import datetime, timedelta
+
+    from llmap_spark.operators.sessions import sessionize
+
+    base = datetime(2025, 1, 1)
+    rows = [  # user 1: gaps 10s, 2000s, 5s -> sessions 1,1,2,2
+        (1, 1, base), (2, 1, base + timedelta(seconds=10)),
+        (3, 1, base + timedelta(seconds=2010)),
+        (4, 1, base + timedelta(seconds=2015)),
+        # user 2: single event
+        (5, 2, base),
+        # user 3: tie on ts broken by event_id
+        (6, 3, base), (7, 3, base),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r.event_id: r.session_id for r in sessionize(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1, 7: 1}
+
+
+def test_asof_prior_event(spark):
+    from datetime import datetime, timedelta
+
+    from llmap_spark.operators.sessions import asof_prior_event
+
+    base = datetime(2025, 1, 1)
+    rows = [
+        (1, 1, base, "view"),
+        (2, 1, base + timedelta(seconds=5), "purchase"),
+        (3, 1, base + timedelta(seconds=9), "view"),
+        (4, 1, base + timedelta(seconds=12), "purchase"),
+        (5, 1, base + timedelta(seconds=20), "click"),
+        (6, 2, base, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r.event_id: r.prev_purchase_id for r in asof_prior_event(df).collect()}
+    assert got == {1: None, 2: None, 3: 2, 4: 2, 5: 4, 6: None}
