@@ -345,6 +345,21 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (Spark's built-in session
+    semantics, usable in batch AND streaming); oracle reconstructs the
+    same sessions with the lag/cumsum formulation."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id",
+                F.unix_timestamp("w.start").cast("long").alias("sess_start"),
+                F.unix_timestamp("w.end").cast("long").alias("sess_end"),
+                "n_events")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction funnel (SURVEY §2 #1-#28 composed)
@@ -367,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user": _q_topk_per_user,
         "windowed_events": _q_windowed_events,
         "sessionize": _q_sessionize,
+        "session_windows": _q_session_windows,
         "asof_prior_purchase": _q_asof_prior_purchase,
         "pivot_event_counts": _q_pivot_event_counts,
         "pricing_summary": _q_pricing_summary,
@@ -546,14 +562,32 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": """
             SELECT event_id, user_id,
               CAST(sum(CASE WHEN prev_ts IS NULL
-                         OR epoch(ts) - prev_ts > 1800 THEN 1 ELSE 0 END)
+                         OR floor(epoch(ts)) - prev_ts > 1800 THEN 1 ELSE 0 END)
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS bigint) AS session_id
             FROM (SELECT event_id, user_id, ts,
-                    lag(epoch(ts)) OVER (PARTITION BY user_id
+                    lag(floor(epoch(ts))) OVER (PARTITION BY user_id
                       ORDER BY ts, event_id) AS prev_ts
                   FROM events)
+        """,
+        "session_windows": """
+            WITH s AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS bigint) AS e,
+                CAST(sum(CASE WHEN prev_ts IS NULL
+                           OR floor(epoch(ts)) - prev_ts > 1800 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS bigint) AS session_id
+              FROM (SELECT user_id, event_id, ts,
+                      lag(floor(epoch(ts))) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev_ts
+                    FROM events))
+            SELECT user_id,
+                   CAST(min(e) AS bigint) AS sess_start,
+                   CAST(max(e) + 1800 AS bigint) AS sess_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
         """,
         "asof_prior_purchase": """
             SELECT event_id, user_id,

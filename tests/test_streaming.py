@@ -59,3 +59,22 @@ def test_extract_stream_matches_batch(spark, pages_smoke, tmp_path):
                              ExtractConfig(fuse=True))
             .select("url", "extracted_text", "status").collect()}
     assert got == want
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    from llmap_spark.streaming.stateful import running_user_counts_stream
+
+    src = _as_dir(EVENTS, tmp_path / "ev_state")
+    q = running_user_counts_stream(spark, src, query_name="rc_test")
+    try:
+        q.processAllAvailable()
+        got = {r.user_id: r.n_events
+               for r in spark.sql("SELECT * FROM rc_test").collect()}
+    finally:
+        q.stop()
+    from pyspark.sql import functions as F
+
+    want = {r.user_id: r.n for r in
+            spark.read.parquet(EVENTS).groupBy("user_id")
+            .agg(F.count("*").alias("n")).collect()}
+    assert got == want
