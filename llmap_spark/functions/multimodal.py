@@ -33,6 +33,7 @@ MEDIA_FEATURES_SCHEMA = (
 
 # magic-byte prefixes -> media type (hex upper-case, as F.hex produces)
 _MAGIC = [
+    ("25504446", "application/pdf"),  # %PDF
     ("FFD8FF", "image/jpeg"),
     ("89504E47", "image/png"),
     ("47494638", "image/gif"),
@@ -94,6 +95,28 @@ def with_media_features(df: DataFrame, binary_col: str,
             yield feats
 
     return df.select(*cols).mapInPandas(fn, out_schema)
+
+
+def extract_pdf_text(payload: bytes):  # pragma: no cover - documented stub
+    """Seam for PDF/layout text extraction (north-rule scope: 'HTML
+    boilerplate strip, PDF/layout parse'). No PDF library ships in this
+    container, so the real parse is a marked stub; the dispatch plumbing
+    (magic sniff -> per-kind kernel, see extract_any) is real and tested.
+    Wire pdfminer/pypdf here on a real cluster."""
+    raise NotImplementedError(
+        "PDF text extraction requires a PDF library not present in this "
+        "environment; wire pdfminer.six/pypdf here on a real cluster")
+
+
+def extract_any(payload: bytes | None):
+    """Media-dispatching extraction: html -> the block kernel; PDF -> the
+    (stubbed) PDF path surfaces as status='unsupported_pdf' rather than
+    an exception (never-throw rule for Arrow kernels)."""
+    from llmap_spark import kernel
+
+    if payload is not None and payload[:4] == b"%PDF":
+        return kernel.PageResult("", [], 0, 0, "unsupported_pdf")
+    return kernel.extract_page(payload)
 
 
 def decode_image(payload: bytes):  # pragma: no cover - documented stub

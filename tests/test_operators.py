@@ -327,3 +327,16 @@ def test_asof_prior_event(spark):
         rows, "event_id long, user_id long, ts timestamp, event_type string")
     got = {r.event_id: r.prev_purchase_id for r in asof_prior_event(df).collect()}
     assert got == {1: None, 2: None, 3: 2, 4: 2, 5: 4, 6: None}
+
+
+def test_extract_any_dispatch(spark):
+    from llmap_spark.functions.multimodal import extract_any, extract_pdf_text
+
+    pdf = b"%PDF-1.7\n1 0 obj\n<<>>\nendobj"
+    r = extract_any(pdf)
+    assert r.status == "unsupported_pdf" and r.extracted_text == ""
+    html = b"<html><body><p>plain html paragraph with enough words to be kept here</p></body></html>"
+    r2 = extract_any(html)
+    assert r2.status == "ok" and "plain html paragraph" in r2.extracted_text
+    with pytest.raises(NotImplementedError):
+        extract_pdf_text(pdf)
