@@ -121,8 +121,8 @@ SPAN_PA_TYPE = None  # built lazily (pyarrow import kept out of module import)
 
 
 def extract_fused_arrow(batches):
-    """mapInArrow fast path: same semantics as extract_fused, but the
-    batch never becomes a pandas DataFrame — input html is read straight
+    """mapInArrow fused fast path: the whole funnel in one Python pass;
+    the batch never becomes a pandas DataFrame — input html is read straight
     off the Arrow buffer, passthrough columns (url/warc_ts/lang/
     salt_bucket) are forwarded zero-copy, and outputs are built as Arrow
     arrays directly. Saves the pandas Series/DataFrame round-trip per
@@ -159,24 +159,6 @@ def extract_fused_arrow(batches):
                    "salt_bucket"])
 
 
-def extract_fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Single-pass fast path: decode→parse→gate→classify→stitch in one
-    Python round-trip. Byte-identical to the staged path (tested); used
-    when cfg.fuse=True for maximum throughput."""
-    for pdf in batches:
-        rows: dict[str, list] = {k: [] for k in (
-            "url", "warc_ts", "lang", "extracted_text", "spans",
-            "n_blocks_kept", "n_blocks_total", "status", "bytes_in")}
-        for url, ts, lang, html in zip(
-                pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["html"]):
-            r = kernel.extract_page(html)
-            rows["url"].append(url)
-            rows["warc_ts"].append(ts)
-            rows["lang"].append(lang)
-            rows["extracted_text"].append(r.extracted_text)
-            rows["spans"].append([{"start": s, "end": e} for s, e in r.spans])
-            rows["n_blocks_kept"].append(r.n_blocks_kept)
-            rows["n_blocks_total"].append(r.n_blocks_total)
-            rows["status"].append(r.status)
-            rows["bytes_in"].append(len(html) if html is not None else 0)
-        yield pd.DataFrame(rows)
+# (a pandas-based fused variant existed before extract_fused_arrow; it was
+# strictly slower — mapInArrow replaced it and the staged path remains the
+# mapInPandas reference implementation)
