@@ -31,7 +31,6 @@ from pyspark.sql.functions import pandas_udf
 from llmap_spark.operators.textstats import fingerprint
 
 MERSENNE61 = (1 << 61) - 1
-EMPTY_SENTINEL = MERSENNE61  # signature value for shingle-less docs
 
 
 # --------------------------------------------------------------------------
@@ -105,7 +104,10 @@ def minhash_signature_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 
         for t in texts:
             h = _shingle_hashes(t or "", shingle_k)
             if h.size == 0:
-                out.append([EMPTY_SENTINEL] * num_hashes)
+                # shingle-less doc: NULL signature. A shared sentinel
+                # signature would make every tiny/empty doc a "perfect
+                # duplicate" of every other one.
+                out.append(None)
                 continue
             # (num_hashes, n_shingles) — wraparound mult is fine pre-mod
             m = (a[:, None] * h[None, :] + b[:, None]) % MERSENNE61
@@ -132,8 +134,11 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     rows_per_band = num_hashes // bands
     sig = df.select(F.col(id_col).alias("_id"),
                     minhash_signature_udf(num_hashes, shingle_k)(F.col(text_col)).alias("sig"))
+    # shingle-less docs carry NULL signatures and cannot be near-dups
+    sig = sig.filter(F.col("sig").isNotNull())
     # the signature subtree feeds three consumers (bucket sizes + both join
-    # sides); persist it so the Python UDF runs exactly once per row
+    # sides); persist it so the Python UDF runs exactly once per row, and
+    # release the cache after materializing the (bounded) candidate set
     sig = sig.persist()
     # band key: md5 of the band's signature slice, JVM-side
     band_exprs = []
@@ -160,9 +165,15 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, v: acc + v)
-    return pairs.select(
+    out = pairs.select(
         "id_a", "id_b",
         (agree / F.lit(float(num_hashes))).alias("est_jaccard"))
+    # candidates are a bounded set (banding + bucket cap): materialize them
+    # eagerly so the signature cache can be released instead of pinning
+    # executor storage for the application lifetime
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -215,6 +226,9 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     """
     s = df.select(F.col(id_col).alias("_id"),
                   simhash_udf()(F.col(text_col)).alias("sh"))
+    # sh=0 marks word-less docs (see simhash_udf) — they are not duplicates
+    # of each other, just empty; exclude them from blocking
+    s = s.filter(F.col("sh") != 0)
     bands = [
         F.struct(F.lit(k).alias("band"),
                  F.shiftrightunsigned("sh", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("key"))
@@ -280,10 +294,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # --------------------------------------------------------------------------
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 50,
+                         strict: bool = True) -> DataFrame:
     """Duplicate clusters from candidate pairs: iterative min-label
-    propagation (label = smallest reachable id). Converges in
-    O(log(diameter)) rounds for dedup-shaped graphs (small dense clusters).
+    propagation (label = smallest reachable id). Labels move ONE hop per
+    round, so convergence takes O(graph diameter) rounds — dedup clusters
+    are small and dense, so the typical diameter is tiny, but a long
+    chain needs `max_iter` >= its length. With strict=True (default) a
+    non-converged run RAISES instead of silently returning split
+    components.
 
     Each round is two shuffles (join + groupBy min). This replaces a
     GraphFrames/union-find dependency; genuinely non-SQL-expressible, so
@@ -300,6 +319,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges.a == labels.node)
@@ -309,11 +329,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             labels.select("node", "label").union(prop)
             .groupBy("node").agg(F.min("label").alias("label"))
         )
+        # checkpoint FIRST (cuts lineage + materializes once), then count
+        # changes off the checkpointed frame — counting before would
+        # compute the aggregation twice
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter or pass "
+            "strict=False to accept split components")
     return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -53,29 +53,44 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     """Exact cosine top-k: broadcast queries, partial top-k per batch,
     global merge. Returns (query_id, neighbor_id, score, rank)."""
     q_rows = queries.select(id_col, vec_col).collect()  # queries are the small side by contract
+    if not q_rows:
+        return spark.createDataFrame([], TOPK_SCHEMA + ", rank int")
     q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(_as_matrix([r[1] for r in q_rows]))
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
+    kk = k + (1 if exclude_self else 0)
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate a running top-k per query across ALL batches of this
+        # partition, emitting once at the end: shuffle volume is
+        # O(n_partitions * q * k), not O(n_batches * q * k)
         ids, qm = bc.value
+        nq = qm.shape[0]
+        best_s = None  # (<=kk, nq) running best scores per query
+        best_n = None  # (<=kk, nq) their neighbor ids
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = _normalize(_as_matrix(list(pdf[vec_col])))
-            sims = c_mat @ qm.T  # (batch, nq)
-            kk = min(k + (1 if exclude_self else 0), sims.shape[0])
-            # partial top-k per query within this batch
-            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
-            out_q, out_n, out_s = [], [], []
-            for j in range(sims.shape[1]):
-                sel = idx[:, j]
-                out_q.extend([ids[j]] * len(sel))
-                out_n.extend(c_ids[sel].tolist())
-                out_s.extend(sims[sel, j].tolist())
-            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
-                                "score": out_s})
+            sims_b = c_mat @ qm.T  # (batch, nq)
+            nb_b = np.repeat(c_ids[:, None], nq, axis=1)
+            if best_s is None:
+                sims, nb = sims_b, nb_b
+            else:
+                sims = np.vstack([sims_b, best_s])
+                nb = np.vstack([nb_b, best_n])
+            take = min(kk, sims.shape[0])
+            idx = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, nq)
+            cols = np.arange(nq)[None, :]
+            best_s = sims[idx, cols]
+            best_n = nb[idx, cols]
+        if best_s is None:
+            return
+        out_q = np.repeat(ids, best_s.shape[0])
+        yield pd.DataFrame({"query_id": out_q,
+                            "neighbor_id": best_n.T.reshape(-1),
+                            "score": best_s.T.reshape(-1)})
 
     partials = corpus.select(id_col, vec_col).mapInPandas(partial, TOPK_SCHEMA)
     if exclude_self:
@@ -117,6 +132,8 @@ def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     an equi-join on centroid id so the shuffle co-locates each bucket.
     """
     sample = corpus.select(vec_col).limit(sample_rows).collect()
+    if not sample:
+        return spark.createDataFrame([], TOPK_SCHEMA + ", rank int")
     s_mat = _normalize(_as_matrix([r[0] for r in sample]))
     cents = _kmeans_fit(s_mat, n_centroids)
     bc = spark.sparkContext.broadcast(cents)

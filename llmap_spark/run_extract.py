@@ -31,14 +31,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="local mode cores (ignored under a real master)")
     args = ap.parse_args(argv)
 
+    from pyspark import SparkConf
     from pyspark.sql import SparkSession
 
     from llmap_spark.plans.pipeline import ExtractConfig
     from llmap_spark.sources.snapshot import run_extract_job
 
-    active = SparkSession.getActiveSession()
-    if active is not None:  # launched via spark-submit with its own master
-        spark = active
+    if SparkConf().contains("spark.master"):
+        # launched via spark-submit: NEVER override --master (a fresh
+        # spark-submit driver has no active session yet, so detecting the
+        # launcher via getActiveSession() is wrong — the conf check isn't)
+        spark = SparkSession.builder.appName("llmap-extract").getOrCreate()
     else:
         from llmap_spark.session import get_spark, scan_conf_for
 

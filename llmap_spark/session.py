@@ -45,7 +45,7 @@ def get_spark(app_name: str = "llmap_spark", cores: int | None = None,
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 2 * cores)
+        shuffle_partitions = 2 * cores
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

@@ -97,11 +97,19 @@ def run_extract_job(spark: SparkSession, pages: DataFrame, out_root: str,
     sort-merge anti-join; that is the price of exactly-once resume and it
     only reads one column of the output table.
     """
+    snaps = committed_snapshots(out_root)
+    # refuse to silently mix kernel semantics in one output table: resume
+    # only continues a table whose committed snapshots used this kernel
+    stale = [s.snapshot_id for s in snaps if s.kernel_version != KERNEL_VERSION]
+    if stale:
+        raise ValueError(
+            f"snapshots {stale} in {out_root} were committed with a different "
+            f"kernel_version (current {KERNEL_VERSION}); resuming would mix "
+            "extraction semantics per row. Use a fresh out_root (or rebuild).")
+
     done = read_extracted(spark, out_root)
     todo = pages if done is None else pages.join(
         done.select("url"), on="url", how="left_anti")
-
-    snaps = committed_snapshots(out_root)
     next_id = (snaps[-1].snapshot_id + 1) if snaps else 1
     parent = snaps[-1].snapshot_id if snaps else None
 

@@ -340,3 +340,41 @@ def test_extract_any_dispatch(spark):
     assert r2.status == "ok" and "plain html paragraph" in r2.extracted_text
     with pytest.raises(NotImplementedError):
         extract_pdf_text(pdf)
+
+
+# -- review-fix regressions ---------------------------------------------------
+
+def test_empty_queries_topk_returns_empty(spark, emb):
+    from llmap_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    none = emb.filter("vec_id < 0")
+    assert brute_force_topk(spark, emb, none, k=3).count() == 0
+    assert brute_force_topk(spark, none, none, k=3).count() == 0
+    assert ivf_topk(spark, none, none, k=3).count() == 0
+
+
+def test_shingleless_docs_are_not_duplicates(spark):
+    from llmap_spark.operators.dedup import (minhash_lsh_candidates,
+                                             simhash_candidates)
+
+    rows = [(1, "a"), (2, "zz"), (3, ""), (4, "   "),
+            (5, "a real document with plenty of words to shingle properly today"),
+            (6, "a real document with plenty of words to shingle properly today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(df).collect()}
+    assert mh == {(5, 6)}  # tiny/empty docs never pair with each other
+    sh = {(r.id_a, r.id_b) for r in simhash_candidates(df, max_hamming=3).collect()}
+    assert (5, 6) in sh
+    assert all(a not in (1, 2, 3, 4) and b not in (1, 2, 3, 4) for a, b in sh)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from llmap_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10)]  # diameter 10
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3, strict=True)
+    # non-strict returns (possibly split) labels without raising
+    out = connected_components(pairs, max_iter=3, strict=False)
+    assert out.count() == 11

@@ -57,3 +57,21 @@ def test_uncommitted_garbage_is_ignored(spark, pages_smoke, out_dir):
     assert len(snap.committed_snapshots(out_dir)) == 1
     ex = snap.read_extracted(spark, out_dir)
     assert ex.count() == 50
+
+
+def test_resume_refuses_mixed_kernel_versions(spark, pages_smoke, out_dir):
+    import json
+    import pathlib
+
+    import pytest
+
+    pages = spark.read.parquet(pages_smoke)
+    s1 = snap.run_extract_job(spark, pages.limit(30), out_dir)
+    assert s1 is not None
+    # simulate a snapshot committed by an older kernel
+    mpath = next(pathlib.Path(out_dir, "_snapshots").glob("snapshot-*.json"))
+    m = json.loads(mpath.read_text())
+    m["kernel_version"] = "0.9.9"
+    mpath.write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="different .*kernel_version|kernel_version"):
+        snap.run_extract_job(spark, pages, out_dir)
