@@ -150,3 +150,29 @@ def test_integer_rule_equivalence():
             assert k in (True, False)  # rescue may flip; no float involved
         else:
             assert k
+
+
+def test_golden_corpus_hash(tmp_path):
+    """Regression anchor: the kernel's exact output over the smoke corpus,
+    pinned as one hash. If extraction semantics change intentionally, bump
+    KERNEL_VERSION (resume gates on it) and update this constant in the
+    same commit; an unintentional change fails here first."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from llmap_spark import corpus
+
+    out = str(tmp_path / "golden.parquet")
+    corpus.generate_pages("/root/testdata/sf0.001", out, pages_per_doc=1)
+    t = pq.read_table(out, columns=["url", "html"])
+    h = hashlib.sha256()
+    for url, html in sorted(zip(t.column("url").to_pylist(),
+                                t.column("html").to_pylist())):
+        r = kernel.extract_page(html)
+        h.update(url.encode()); h.update(b"\x00")
+        h.update(r.extracted_text.encode()); h.update(b"\x00")
+        h.update(r.status.encode()); h.update(b"\x01")
+    assert h.hexdigest() == (
+        "4e414bbb44d357faf68c35fbe6be76250df03b91a261588cf8cbbf8785e1502f"
+    ), "kernel output drifted — if intentional, bump KERNEL_VERSION and this hash"
