@@ -101,6 +101,13 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
+def _q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.textstats import token_count_bpe
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count_bpe(F.col("text")).alias("n_bpe_tokens"))
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.textstats import lang_id
 
@@ -368,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_full": _q_extract_full,
         # text analysis
         "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         # dedup family
@@ -425,6 +433,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CASE WHEN length({NORM_SQL}) = 0 THEN 0
               ELSE CAST((length({NORM_SQL})
                 - length(replace({NORM_SQL}, ' ', ''))) AS int) + 1 END AS n_tokens
+            FROM documents
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+                   AS int) AS n_bpe_tokens
             FROM documents
         """,
         "lang_id": """

@@ -45,6 +45,19 @@ def token_count(col: Column) -> Column:
     ).cast("int")
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs.
+# Deliberately ASCII-only so Java regex (Spark), RE2 (DuckDB), and Python
+# `re` agree exactly — the portable stand-in for a real BPE vocab count.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Sub-word-ish token count: counts letter/digit/punct runs via one
+    JVM-side regexp_count — the deterministic cost model the reference
+    used an HF tokenizer for (reference parse.py:17-18)."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN)).cast("int")
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Integer quality-signal columns: char/token counts, punctuation,
     digits, stopword hits, mean word length x100 (integer), plus a boolean
