@@ -355,8 +355,14 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window aggregation (Spark's built-in session
     semantics, usable in batch AND streaming); oracle reconstructs the
-    same sessions with the lag/cumsum formulation."""
-    ev = _events(spark, sf_dir)
+    same sessions with the lag/cumsum formulation.
+
+    ts is truncated to whole seconds BEFORE session_window: the oracle (and
+    the sessionize twin) compare floor(epoch) gaps, so a fractional gap in
+    (1800, 1801) s would split natively but merge in the oracle — truncating
+    first makes both sides apply the identical integer gap rule."""
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts")))
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -424,10 +430,12 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT unnest([7, 13, 29, 31]) AS res,
                          unnest(['empty','no_body','truncated','decode_replaced']) AS status
                   FROM t),
-            e AS (SELECT status, (tot - res + 999) // 1000 AS n FROM r, t)
+            e AS (SELECT status,
+                         CAST((tot - res + 999) // 1000 AS BIGINT) AS n FROM r, t)
             SELECT status, n FROM e
             UNION ALL
-            SELECT 'ok' AS status, tot - (SELECT sum(n) FROM e) AS n FROM t
+            SELECT 'ok' AS status,
+                   CAST(tot - (SELECT sum(n) FROM e) AS BIGINT) AS n FROM t
         """,
         "token_count": f"""
             SELECT doc_id, CASE WHEN length({NORM_SQL}) = 0 THEN 0
@@ -529,7 +537,8 @@ def oracle_sql() -> dict[str, str]:
         "windowed_events": """
             SELECT CAST(floor(epoch(ts) / 300) * 300 AS bigint) AS win_start,
                    event_type, count(*) AS n_events,
-                   sum(CAST(floor(value * 1000000) AS bigint)) AS sum_micros
+                   CAST(sum(CAST(floor(value * 1000000) AS bigint)) AS BIGINT)
+                     AS sum_micros
             FROM events GROUP BY 1, 2
         """,
         "orders_per_region": """
@@ -623,10 +632,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-              sum(CAST(l_quantity AS bigint)) AS sum_qty,
-              sum(CAST(floor(l_extendedprice * 100) AS bigint)) AS sum_base_cents,
-              sum(CAST(floor(l_extendedprice * 100) AS bigint)
-                  * (100 - CAST(floor(l_discount * 100) AS bigint))) AS sum_disc_units,
+              CAST(sum(CAST(l_quantity AS bigint)) AS BIGINT) AS sum_qty,
+              CAST(sum(CAST(floor(l_extendedprice * 100) AS bigint)) AS BIGINT)
+                AS sum_base_cents,
+              CAST(sum(CAST(floor(l_extendedprice * 100) AS bigint)
+                  * (100 - CAST(floor(l_discount * 100) AS bigint))) AS BIGINT)
+                AS sum_disc_units,
               count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,

@@ -136,7 +136,7 @@ def main() -> int:
         "scaling_efficiency": round(eff, 3),
         "gate": "PASS" if eff >= 0.8 else "FAIL",
         "n_pages": results[0]["n_pages"],
-        "repartition_per_level": "2x cores",
+        "repartition_per_level": 0,  # map-only at every level (see comment above)
         "copies": copies,
     }
     print(json.dumps(summary))
