@@ -41,7 +41,7 @@ import html as _htmlmod
 import re
 from typing import NamedTuple
 
-KERNEL_VERSION = "2.0.0"
+KERNEL_VERSION = "2.1.0"
 
 # --- bounded per-item work (reference parse.py:20-26 analogue) ------------
 MAX_HTML_BYTES = 1_000_000  # raw html byte cap per page
@@ -249,6 +249,15 @@ _TAG_TAIL_RE = re.compile(r"""[^>"']*(?:"[^"]*"[^>"']*|'[^']*'[^>"']*)*>""")
 _NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:_.-]*")
 # content of these elements is raw text: '<' inside does not open tags
 _RAWTEXT_TAGS = frozenset({"script", "style", "textarea", "title", "xmp"})
+# ASCII-only lowercase map: LENGTH-PRESERVING, unlike str.lower() (e.g.
+# U+0130 'İ' lowercases to 2 chars), so offsets into the lowered copy stay
+# aligned with the original document. Tag names are ASCII by definition.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+# chars that may legally precede the '/' of a self-closing '/>' — after a
+# quoted value or whitespace. A '/' right after an unquoted attribute value
+# (e.g. <a href=/x/>) is part of the value per HTML5, not self-closing.
+_PRE_SLASH_OK = frozenset(" \t\n\r\f\"'")
 
 
 def _scan(doc: str, sink: _BlockSink) -> None:
@@ -259,7 +268,7 @@ def _scan(doc: str, sink: _BlockSink) -> None:
     bookkeeping). Tolerant by construction: anything unrecognized after
     '<' is treated as text; unterminated constructs run to end-of-doc.
     """
-    low = doc.lower()  # case-insensitive tag searches; slices from `doc`
+    low = doc.translate(_ASCII_LOWER)  # case-insensitive tag searches, offset-aligned
     n = len(doc)
     pos = 0
     while pos < n:
@@ -303,7 +312,9 @@ def _scan(doc: str, sink: _BlockSink) -> None:
         if tail is None:  # unclosed tag at EOF -> stop
             break
         end_pos = tail.end()
-        self_closing = doc[end_pos - 2:end_pos - 1] == "/"
+        self_closing = doc[end_pos - 2:end_pos - 1] == "/" and (
+            end_pos - 2 == m.end()  # '/' directly after the tag name: <br/>
+            or doc[end_pos - 3] in _PRE_SLASH_OK)
         if self_closing:
             sink.startend(tag)
         else:

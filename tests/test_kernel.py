@@ -152,6 +152,43 @@ def test_integer_rule_equivalence():
             assert k
 
 
+def test_unicode_lowercase_does_not_desync_scanner():
+    # U+0130 'İ' lowercases to TWO chars via str.lower(); the scanner's
+    # lowered copy must stay length-aligned with the original doc or every
+    # tag position after the 'İ' is misread and raw markup leaks into the
+    # extracted text.
+    html = ("<html><body>"
+            "<p>İstanbul coverage paragraph with clearly enough running words"
+            " to pass every keep threshold in the kernel today.</p>"
+            "<p>Second İİİ paragraph also has plenty of running words to be"
+            " kept by the density classifier rules.</p>"
+            "</body></html>").encode("utf-8")
+    r = kernel.extract_page(html)
+    assert r.status == "ok"
+    assert "İstanbul coverage paragraph" in r.extracted_text
+    assert "Second İİİ paragraph" in r.extracted_text
+    assert "<" not in r.extracted_text  # no markup leak
+    assert "body" not in r.extracted_text
+
+
+def test_unquoted_attr_trailing_slash_is_not_self_closing():
+    # HTML5: in <a href=/x/> the '/' belongs to the unquoted value, so the
+    # anchor OPENS — its text must count as link chars. A scanner that reads
+    # any '/>' as self-closing never opens the anchor and undercounts
+    # link density.
+    html = ("<html><body><p><a href=/x/>all of this block text lives inside"
+            " one anchor element entirely</a></p></body></html>")
+    blocks, _, _ = kernel.parse_blocks(html)
+    assert len(blocks) == 1
+    b = blocks[0]
+    assert b.n_link_chars == b.n_chars  # fully link text
+    assert not b.candidate  # link-dominated -> gated out
+    # quoted and post-whitespace forms DO self-close
+    html2 = '<html><body><p>before <img src="x"/> after <hr /> tail</p></body></html>'
+    blocks2, _, _ = kernel.parse_blocks(html2)
+    assert all(b.n_link_chars == 0 for b in blocks2)
+
+
 def test_golden_corpus_hash(tmp_path):
     """Regression anchor: the kernel's exact output over the smoke corpus,
     pinned as one hash. If extraction semantics change intentionally, bump
