@@ -145,14 +145,17 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.dedup import simhash_candidates
 
-    return simhash_candidates(_docs(spark, sf_dir), max_hamming=8)
+    # radius 4 exercises the derived banding (5 disjoint bands; the fixed
+    # 4-band split was only lossless up to Hamming 3) while keeping band
+    # keys wide enough that bucket collisions stay sub-quadratic
+    return simhash_candidates(_docs(spark, sf_dir), max_hamming=4)
 
 
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.dedup import (connected_components,
                                              simhash_candidates)
 
-    pairs = simhash_candidates(_docs(spark, sf_dir), max_hamming=8)
+    pairs = simhash_candidates(_docs(spark, sf_dir), max_hamming=4)
     return connected_components(pairs)
 
 

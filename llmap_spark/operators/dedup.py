@@ -220,20 +220,35 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Blocking: 4 x 16-bit bands; by pigeonhole, any pair within Hamming 3
-    agrees exactly on at least one band, so banding loses nothing. Verify
-    is JVM-side bit_count(xor). Returns (id_a, id_b, hamming int).
+    Blocking: the 64 bits are split into `max_hamming + 1` disjoint bands —
+    by pigeonhole, any pair differing in <= max_hamming bits agrees exactly
+    on at least one band, so banding is lossless for the requested radius
+    (with a fixed 4-band split, recall silently broke above Hamming 3).
+    Verify is JVM-side bit_count(xor). Returns (id_a, id_b, hamming int).
+
+    Scale tradeoff: more bands means narrower band keys, hence a smaller
+    key space and larger buckets (candidate volume grows roughly as
+    n^2 * bands / 2^width per band). Radii beyond ~7 on a 64-bit
+    fingerprint want a wider fingerprint, not more bands.
     """
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 16:
+        raise ValueError(f"max_hamming={max_hamming} out of range for a "
+                         "64-bit simhash; use a wider fingerprint")
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1 if k < rem else base for k in range(n_bands)]
     s = df.select(F.col(id_col).alias("_id"),
                   simhash_udf()(F.col(text_col)).alias("sh"))
     # sh=0 marks word-less docs (see simhash_udf) — they are not duplicates
     # of each other, just empty; exclude them from blocking
     s = s.filter(F.col("sh") != 0)
-    bands = [
-        F.struct(F.lit(k).alias("band"),
-                 F.shiftrightunsigned("sh", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("key"))
-        for k in range(4)
-    ]
+    bands = []
+    off = 0
+    for k, w in enumerate(widths):
+        bands.append(F.struct(
+            F.lit(k).alias("band"),
+            F.shiftrightunsigned("sh", off).bitwiseAND(F.lit((1 << w) - 1)).alias("key")))
+        off += w
     e = s.select("_id", "sh", F.explode(F.array(*bands)).alias("bk")) \
          .select("_id", "sh", "bk.band", "bk.key")
     a = e.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")

@@ -122,6 +122,29 @@ def test_simhash_candidates(spark, docs):
         assert 0 <= r.hamming <= 6
 
 
+@pytest.mark.parametrize("max_hamming", [3, 4, 6])
+def test_simhash_banding_is_lossless(spark, docs, max_hamming):
+    """The banded candidate set must equal the brute-force all-pairs set at
+    the requested radius — the fixed 4-band split only guaranteed this up to
+    Hamming 3 (pigeonhole needs max_hamming+1 bands)."""
+    from llmap_spark.operators.dedup import simhash_candidates, simhash_udf
+
+    base = docs.limit(40)
+    near = (base.withColumn("doc_id", F.col("doc_id") + 100000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" qq zz"))))
+    allr = base.unionByName(near)
+    sh = {r._id: r.sh for r in allr.select(
+        F.col("doc_id").alias("_id"),
+        simhash_udf()(F.col("text")).alias("sh")).collect() if r.sh != 0}
+    ids = sorted(sh)
+    want = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= max_hamming}
+    got = {(r.id_a, r.id_b) for r in
+           simhash_candidates(allr, max_hamming=max_hamming).collect()}
+    assert got == want
+    assert want  # the planted pairs make the radius non-trivial
+
+
 def test_ngram_jaccard_vs_duckdb(spark, docs):
     from llmap_spark.operators.dedup import ngram_jaccard_pairs
 
