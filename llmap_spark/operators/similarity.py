@@ -49,10 +49,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                      k: int = 10, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     exclude_self: bool = True) -> DataFrame:
+                     exclude_self: bool = True,
+                     max_query_rows: int = 65_536) -> DataFrame:
     """Exact cosine top-k: broadcast queries, partial top-k per batch,
-    global merge. Returns (query_id, neighbor_id, score, rank)."""
-    q_rows = queries.select(id_col, vec_col).collect()  # queries are the small side by contract
+    global merge. Returns (query_id, neighbor_id, score, rank).
+
+    The query side is collected to the driver for broadcast, so it must be
+    small BY CONTRACT; the collect is bounded by `max_query_rows` and raises
+    past it rather than silently OOM-ing the driver (a 10^9-vector corpus
+    passed as its own query side would otherwise collect 10^9 rows). For
+    corpus-scale self-similarity use ivf_topk, whose query side stays
+    distributed."""
+    q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk query side exceeds max_query_rows="
+            f"{max_query_rows}; this operator broadcasts queries from the "
+            "driver — for large/self query sets use ivf_topk (distributed "
+            "query side) or raise max_query_rows explicitly")
     if not q_rows:
         return spark.createDataFrame([], TOPK_SCHEMA + ", rank int")
     q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
@@ -123,19 +137,29 @@ def _kmeans_fit(sample: np.ndarray, n_centroids: int, iters: int = 10,
 def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
              k: int = 10, n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             sample_rows: int = 10_000, exclude_self: bool = True) -> DataFrame:
+             sample_rows: int = 10_000, exclude_self: bool = True,
+             seed: int = 42) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
     Centroids fit on a seeded sample (bounded collect — this is the one
     deliberate driver-side step, standard for IVF training). Corpus gets a
     `centroid` column; queries explode to nprobe probes; the probe join is
     an equi-join on centroid id so the shuffle co-locates each bucket.
+
+    The sample is drawn by ordering on a seeded hash of the id and taking
+    the first `sample_rows` — a deterministic random permutation that Spark
+    executes as TakeOrdered (per-partition top-k + merge, no full sort).
+    A bare limit() would read only the first partitions, a badly biased
+    sample when the corpus is sorted or partitioned by cluster.
     """
-    sample = corpus.select(vec_col).limit(sample_rows).collect()
+    sample = (corpus.select(id_col, vec_col)
+              .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+              .limit(sample_rows)
+              .select(vec_col).collect())
     if not sample:
         return spark.createDataFrame([], TOPK_SCHEMA + ", rank int")
     s_mat = _normalize(_as_matrix([r[0] for r in sample]))
-    cents = _kmeans_fit(s_mat, n_centroids)
+    cents = _kmeans_fit(s_mat, n_centroids, seed=seed)
     bc = spark.sparkContext.broadcast(cents)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -191,11 +215,27 @@ def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
 def embedding_neardup_pairs(spark: SparkSession, emb: DataFrame,
                             threshold: float = 0.95, k: int = 10,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            exact: bool = False,
+                            n_centroids: int = 64,
+                            nprobe: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: self top-k then threshold.
-    Returns (id_a, id_b, score) with id_a < id_b."""
-    topk = brute_force_topk(spark, emb, emb, k=k, id_col=id_col,
-                            vec_col=vec_col, exclude_self=True)
+    Returns (id_a, id_b, score) with id_a < id_b.
+
+    Default path is IVF on both sides: the corpus IS the query set here, so
+    a broadcast-queries brute force would collect the whole corpus to the
+    driver — the one shape that cannot survive 10^9 vectors. IVF keeps both
+    sides distributed (co-partitioned probe join on centroid id). Near-dup
+    pairs sit at cosine >= threshold ~ 0.95, i.e. deep inside the same
+    centroid cell, so tiny nprobe already sees essentially all true pairs.
+    Pass exact=True only for corpora small enough to broadcast."""
+    if exact:
+        topk = brute_force_topk(spark, emb, emb, k=k, id_col=id_col,
+                                vec_col=vec_col, exclude_self=True)
+    else:
+        topk = ivf_topk(spark, emb, emb, k=k, id_col=id_col, vec_col=vec_col,
+                        n_centroids=n_centroids, nprobe=nprobe,
+                        exclude_self=True)
     return (
         topk.filter(F.col("score") >= threshold)
         .select(F.least("query_id", "neighbor_id").alias("id_a"),

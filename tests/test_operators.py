@@ -249,6 +249,64 @@ def test_ivf_recall_on_clustered_data(spark):
     assert float(np.mean(recalls)) >= 0.9
 
 
+def test_ivf_recall_on_cluster_sorted_data(spark):
+    """Same regime but rows SORTED BY CLUSTER across few partitions: a
+    centroid sample via bare limit() reads only the first partitions (first
+    clusters), leaving later clusters without nearby centroids — the
+    hash-ordered sample must keep recall regardless of physical order."""
+    from llmap_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rs = np.random.RandomState(11)
+    centers = rs.normal(size=(8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        c = centers[i // 50]  # cluster-contiguous ids
+        v = c + 0.15 * rs.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+    df = (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+          .repartitionByRange(8, "vec_id"))  # partition == cluster
+
+    exact = brute_force_topk(spark, df, df, k=10).collect()
+    approx = ivf_topk(spark, df, df, k=10, n_centroids=16, nprobe=4,
+                      sample_rows=120).collect()  # < one cluster per limit()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert float(np.mean(recalls)) >= 0.9
+
+
+def test_brute_force_bounds_query_collect(spark, emb):
+    from llmap_spark.operators.similarity import brute_force_topk
+
+    with pytest.raises(ValueError, match="max_query_rows"):
+        brute_force_topk(spark, emb, emb, k=3, max_query_rows=10)
+
+
+def test_embedding_neardup_pairs_ivf_path(spark):
+    """Planted duplicate-ish vectors must surface as near-dup pairs through
+    the default (IVF both sides, no driver collect) path."""
+    from llmap_spark.operators.similarity import embedding_neardup_pairs
+
+    rs = np.random.RandomState(3)
+    base = rs.normal(size=(200, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    # ids 1000+i are near-copies of ids 0..19
+    for i in range(20):
+        v = base[i] + 0.01 * rs.normal(size=32)
+        rows.append((1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in
+             embedding_neardup_pairs(spark, df, threshold=0.98,
+                                     n_centroids=8, nprobe=2).collect()}
+    found = sum((i, 1000 + i) in pairs for i in range(20))
+    assert found >= 18
+
+
 # -- binpack ------------------------------------------------------------------
 
 def test_collate_greedy_matches_reference_loop(spark, docs):
