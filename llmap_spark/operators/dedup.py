@@ -120,7 +120,8 @@ def minhash_signature_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_hashes: int = 64,
                            bands: int = 16, shingle_k: int = 5,
-                           max_bucket: int = 200) -> DataFrame:
+                           max_bucket: int = 200,
+                           materialize: bool = False) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     Returns (id_a, id_b, est_jaccard double) with id_a < id_b. est_jaccard
@@ -129,6 +130,21 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     (skew guard: a degenerate shingle bucket would otherwise create a
     quadratic join blowup; dropped buckets mean those docs are near-dups of
     *many* docs and are caught by other bands with overwhelming odds).
+
+    Shuffle diet: only (id, band, band-hash) rows enter the bucket
+    self-join and the candidate `distinct` — signatures (64 longs, ~0.5 KB)
+    are re-attached AFTER the pair set is deduplicated, via broadcast of
+    the (small by construction) pair list against the persisted signature
+    frame. Carrying both signatures through the join + distinct would ship
+    ~1 KB of avoidable shuffle per candidate occurrence.
+
+    The operator is LAZY by default: it returns a plan and leaves the
+    signature frame persisted (the UDF runs once per row however many
+    consumers the caller wires up). Pass materialize=True to eagerly
+    localCheckpoint the bounded candidate set and release the signature
+    cache — appropriate in notebooks/short jobs; on a long-lived cluster
+    prefer writing the candidates to a table, since localCheckpoint blocks
+    are lost on executor failure.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -136,9 +152,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                     minhash_signature_udf(num_hashes, shingle_k)(F.col(text_col)).alias("sig"))
     # shingle-less docs carry NULL signatures and cannot be near-dups
     sig = sig.filter(F.col("sig").isNotNull())
-    # the signature subtree feeds three consumers (bucket sizes + both join
-    # sides); persist it so the Python UDF runs exactly once per row, and
-    # release the cache after materializing the (bounded) candidate set
+    # the signature subtree feeds three consumers (band explode + the two
+    # signature re-joins); persist so the Python UDF runs once per row
     sig = sig.persist()
     # band key: md5 of the band's signature slice, JVM-side
     band_exprs = []
@@ -147,32 +162,38 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         band_exprs.append(F.struct(F.lit(bd).alias("band"),
                                    F.md5(F.to_json(s)).alias("bh")))
     exploded = (
-        sig.select("_id", "sig", F.explode(F.array(*band_exprs)).alias("bk"))
-        .select("_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        sig.select("_id", F.explode(F.array(*band_exprs)).alias("bk"))
+        .select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     )
-    # hot-bucket guard
-    sizes = exploded.groupBy("band", "bh").count()
-    pruned = exploded.join(F.broadcast(sizes.filter(F.col("count") > max_bucket)),
-                           ["band", "bh"], "left_anti")
-    a = pruned.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"),
-                      "band", "bh")
-    b = pruned.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"),
-                      "band", "bh")
+    # hot-bucket guard: one window count over the same (band, bh) shuffle
+    # the self-join needs anyway — no separate aggregate + anti-join pass
+    pruned = (
+        exploded.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("band", "bh")))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    a = pruned.select(F.col("_id").alias("id_a"), "band", "bh")
+    b = pruned.select(F.col("_id").alias("id_b"), "band", "bh")
     pairs = (
         a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+        .select("id_a", "id_b").distinct()
     )
+    sa = sig.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # no broadcast hint: AQE turns these into broadcast joins at runtime
+    # when the pair set is small; a forced broadcast would OOM if a huge
+    # corpus yields a pair set beyond driver memory
+    withsigs = sa.join(pairs, "id_a").join(sb, "id_b")
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, v: acc + v)
-    out = pairs.select(
+    out = withsigs.select(
         "id_a", "id_b",
         (agree / F.lit(float(num_hashes))).alias("est_jaccard"))
-    # candidates are a bounded set (banding + bucket cap): materialize them
-    # eagerly so the signature cache can be released instead of pinning
-    # executor storage for the application lifetime
-    out = out.localCheckpoint(eager=True)
-    sig.unpersist()
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        sig.unpersist()
     return out
 
 
