@@ -452,10 +452,25 @@ def test_shingleless_docs_are_not_duplicates(spark):
 def test_connected_components_nonconvergence_raises(spark):
     from llmap_spark.operators.dedup import connected_components
 
-    chain = [(i, i + 1) for i in range(10)]  # diameter 10
+    # pointer doubling reaches distance ~2^rounds, so a diameter-60 chain
+    # cannot converge in 2 rounds
+    chain = [(i, i + 1) for i in range(60)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=3, strict=True)
+        connected_components(pairs, max_iter=2, strict=True)
     # non-strict returns (possibly split) labels without raising
-    out = connected_components(pairs, max_iter=3, strict=False)
-    assert out.count() == 11
+    out = connected_components(pairs, max_iter=2, strict=False)
+    assert out.count() == 61
+
+
+def test_connected_components_long_path_converges_fast(spark):
+    """A 1000-node path has diameter 1000: one-hop min propagation needs
+    ~1000 rounds, pointer doubling must finish within ~log2(1000)+slack."""
+    from llmap_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(999)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    out = connected_components(pairs, max_iter=16, strict=True)
+    comps = {r.component for r in out.collect()}
+    assert comps == {0}
+    assert out.count() == 1000
