@@ -166,6 +166,19 @@ def _q_collate_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
                           budget=5000).select("doc_id", "group_id")
 
 
+def _q_collate_binpack_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE shape of collate: each bucket packs independently in
+    parallel (window partitioned by a key), vs the single-task global
+    window of collate_binpack which exists for small dims / oracle parity."""
+    from llmap_spark.operators.binpack import collate_approx
+
+    d = _docs(spark, sf_dir).withColumn(
+        "bucket", (F.col("doc_id") % 16).cast("long"))
+    return collate_approx(d, "doc_id", "n_chars", budget=5000,
+                          partition_col="bucket").select(
+        "doc_id", "bucket", "group_id")
+
+
 def _q_group_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference group-by-file combine (llmap.py:204-215): per-key ordered
     concatenation — determinism-by-sorting preserved."""
@@ -395,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         # reference operator analogues
         "collate_binpack": _q_collate_binpack,
+        "collate_binpack_bucketed": _q_collate_binpack_bucketed,
         "group_combine": _q_group_combine,
         "topk_per_user": _q_topk_per_user,
         "windowed_events": _q_windowed_events,
@@ -524,6 +538,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(floor(coalesce(sum(n_chars) OVER
               (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
               / 5000) AS bigint) AS group_id
+            FROM documents
+        """,
+        "collate_binpack_bucketed": """
+            SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS bucket,
+              CAST(floor(coalesce(sum(n_chars) OVER
+                (PARTITION BY doc_id % 16 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 5000) AS bigint) AS group_id
             FROM documents
         """,
         "group_combine": """
