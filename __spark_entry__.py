@@ -314,6 +314,33 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "rank")
 
 
+def _q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction, driver-verified: documents are rendered
+    into minimal PDFs (deterministically varied Tj/TJ/hex string codings and
+    Flate/raw stream codings by doc_id), then the stdlib text-layer kernel
+    (llmap_spark.pdf) extracts them back over a binary column. The oracle is
+    the normalized source text — a byte-exact roundtrip, same construction
+    as extract_roundtrip for HTML."""
+    import pandas as pd
+
+    from llmap_spark.functions.multimodal import with_pdf_text
+    from llmap_spark.pdf import make_pdf
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        for pdf_ in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf_["doc_id"],
+                "payload": [make_pdf(t or "", int(d))
+                            for d, t in zip(pdf_["doc_id"], pdf_["text"])],
+            })
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return with_pdf_text(payloads, "payload", keep_cols=("doc_id",)).select(
+        "doc_id", "extracted_text")
+
+
 def _q_multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.functions.multimodal import (sniff_media_type,
                                                   with_media_features)
@@ -425,7 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_int": _q_embedding_topk_int,
         "ann_brute_force": _q_ann_brute_force,
         "ann_ivf": _q_ann_ivf,
-        # multimodal plumbing
+        # multimodal
+        "extract_pdf_roundtrip": _q_extract_pdf_roundtrip,
         "multimodal_media_meta": _q_multimodal_media_meta,
     }
 
@@ -453,6 +481,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ok' AS status,
                    CAST(tot - (SELECT sum(n) FROM e) AS BIGINT) AS n FROM t
+        """,
+        "extract_pdf_roundtrip": f"""
+            SELECT doc_id, {NORM_SQL} AS extracted_text FROM documents
         """,
         "token_count": f"""
             SELECT doc_id, CASE WHEN length({NORM_SQL}) = 0 THEN 0

@@ -9,8 +9,12 @@ actual codec decode is STUBBED (this container has no image/audio libs):
   * `media_features` is a deterministic fake decode (byte histogram
     statistics), clearly marked, with the same mapInPandas shape a real
     decoder (PIL/libsndfile/ffmpeg) would use;
+  * `with_pdf_text` / `extract_any`'s PDF branch are REAL: stdlib text-layer
+    extraction via llmap_spark.pdf (zlib FlateDecode + content-stream
+    text-show operators);
   * `decode_image` raises NotImplementedError — the marked seam where a
-    real codec plugs in.
+    real codec plugs in (full pixel decode; header METADATA is real, see
+    llmap_spark.media_meta).
 
 At 100 TB the rules that matter are the ones enforced here: binary columns
 never pass through row-at-a-time Python, batches stay small (session.py
@@ -97,26 +101,43 @@ def with_media_features(df: DataFrame, binary_col: str,
     return df.select(*cols).mapInPandas(fn, out_schema)
 
 
-def extract_pdf_text(payload: bytes):  # pragma: no cover - documented stub
-    """Seam for PDF/layout text extraction (north-rule scope: 'HTML
-    boilerplate strip, PDF/layout parse'). No PDF library ships in this
-    container, so the real parse is a marked stub; the dispatch plumbing
-    (magic sniff -> per-kind kernel, see extract_any) is real and tested.
-    Wire pdfminer/pypdf here on a real cluster."""
-    raise NotImplementedError(
-        "PDF text extraction requires a PDF library not present in this "
-        "environment; wire pdfminer.six/pypdf here on a real cluster")
+PDF_TEXT_SCHEMA = "extracted_text string, status string"
 
 
 def extract_any(payload: bytes | None):
-    """Media-dispatching extraction: html -> the block kernel; PDF -> the
-    (stubbed) PDF path surfaces as status='unsupported_pdf' rather than
-    an exception (never-throw rule for Arrow kernels)."""
-    from llmap_spark import kernel
+    """Media-dispatching extraction (reference analogue: per-filetype parse
+    dispatch, parse.py:236-240): html -> the block kernel; PDF -> the
+    stdlib text-layer kernel (llmap_spark.pdf). Both kernels are total —
+    statuses, never exceptions (never-throw rule for Arrow kernels)."""
+    from llmap_spark import kernel, pdf
 
     if payload is not None and payload[:4] == b"%PDF":
-        return kernel.PageResult("", [], 0, 0, "unsupported_pdf")
+        text, status = pdf.extract_pdf_text(payload)
+        return kernel.PageResult(text, [], 1 if text else 0, 1, status)
     return kernel.extract_page(payload)
+
+
+def with_pdf_text(df: DataFrame, binary_col: str,
+                  keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """PDF text layer per row via the shared stdlib kernel
+    (llmap_spark.pdf.extract_pdf_text — the same function the in-process
+    oracle calls), carrying `keep_cols` through the Arrow boundary."""
+    from llmap_spark.pdf import extract_pdf_text
+
+    cols = list(keep_cols) + [binary_col]
+    carry_ddl = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in keep_cols)
+    out_schema = (carry_ddl + ", " if carry_ddl else "") + PDF_TEXT_SCHEMA
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            res = [extract_pdf_text(v) for v in pdf_[binary_col]]
+            out = pd.DataFrame({"extracted_text": [t for t, _ in res],
+                                "status": [s for _, s in res]})
+            for c in reversed(list(keep_cols)):
+                out.insert(0, c, pdf_[c].reset_index(drop=True))
+            yield out
+
+    return df.select(*cols).mapInPandas(fn, out_schema)
 
 
 def decode_image(payload: bytes):  # pragma: no cover - documented stub

@@ -57,6 +57,15 @@ def extract_parquet(pages_path: str) -> "pyarrow.Table":  # noqa: F821
     return pa.Table.from_pylist(rows)
 
 
+def _dispatch(payload: bytes):
+    """Media dispatch for the CLI: PDFs take the stdlib text-layer kernel,
+    everything else the HTML block kernel — the SAME extract_any the Spark
+    UDF path uses."""
+    from llmap_spark.functions.multimodal import extract_any
+
+    return extract_any(payload)
+
+
 def main(argv: list[str]) -> int:
     if len(argv) < 2 or argv[0] not in {"blocks", "extract", "status"}:
         print(__doc__, file=sys.stderr)
@@ -78,10 +87,10 @@ def main(argv: list[str]) -> int:
                       f"tok={b.n_tokens}\tlink={b.n_link_chars}/{b.n_chars}\t"
                       f"{b.text[:60]!r}")
         elif cmd == "extract":
-            r = kernel.extract_page(html)
+            r = _dispatch(html)
             print(r.extracted_text)
         else:
-            r = kernel.extract_page(html)
+            r = _dispatch(html)
             print(f"{f}\t{r.status}\tkept={r.n_blocks_kept}/{r.n_blocks_total}\t"
                   f"chars={len(r.extracted_text)}")
     return 0

@@ -1,0 +1,264 @@
+"""Stdlib-only PDF text extraction kernel (+ a deterministic generator).
+
+Replaces the round-1 `extract_pdf_text` stub: no PDF library ships in this
+container, but the text layer of crawl-style PDFs is reachable with pure
+stdlib — locate stream objects, FlateDecode them with zlib, and read the
+text-show operators (Tj / TJ / ' / ") inside BT..ET blocks in content-stream
+order. Same contract as the HTML kernel (llmap_spark.kernel): TOTAL (never
+raises on any byte input), deterministic, pure functions shared verbatim by
+the single-process oracle and the Spark UDFs (reference-shape analogue: the
+per-filetype parse dispatch, reference parse.py:236-240).
+
+Deliberate scope (documented, not hidden): text-layer extraction only —
+literal and hex strings in the standard escapes, FlateDecode or raw streams,
+UTF-16BE (BOM-tagged) hex strings. No font-CMap remapping, no encrypted
+PDFs, no image OCR; such payloads extract as empty text, never an exception.
+
+`make_pdf` is the matching deterministic generator used by tests and the
+driver roundtrip query: make_pdf(text) -> extract_pdf_text -> the
+whitespace-normalized text, byte-exact. It deliberately exercises both
+stream codings and both string codings.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+MAX_PDF_BYTES = 8_000_000   # raw payload cap (bounded per-item work)
+MAX_STREAM_BYTES = 4_000_000  # per decoded stream (zip-bomb guard)
+
+_BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# one token of interest inside a text block: a literal string, a hex string,
+# or a text-show operator
+_TOK_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|Tj|TJ|T\*|'|\"")
+
+_ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+        b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _unescape_literal(body: bytes) -> bytes:
+    """PDF literal-string unescape: named escapes, 1-3 digit octal, and
+    line continuations (backslash-newline erases both)."""
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i:i + 1]
+        if c != b"\\":
+            out += c
+            i += 1
+            continue
+        nxt = body[i + 1:i + 2]
+        if nxt in _ESC:
+            out += _ESC[nxt]
+            i += 2
+        elif nxt and nxt in b"01234567":
+            j = i + 1
+            while (j < min(i + 4, n) and body[j:j + 1] in b"01234567"
+                   and int(body[i + 1:j + 1], 8) < 256):
+                j += 1
+            out.append(int(body[i + 1:j], 8))
+            i = j
+        elif nxt in (b"\n", b"\r"):
+            i += 2
+            if nxt == b"\r" and body[i:i + 1] == b"\n":
+                i += 1
+        else:  # lone backslash before any other char: drop the backslash
+            out += nxt
+            i += 2
+    return bytes(out)
+
+
+def _decode_string(raw: bytes) -> str:
+    """String object bytes -> str. UTF-16BE when BOM-tagged (the standard
+    PDF convention), else PDFDocEncoding approximated as latin-1 (exact for
+    ASCII, which is what font-unencoded simple PDFs carry)."""
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be", errors="replace")
+        except Exception:
+            return ""
+    return raw.decode("latin-1", errors="replace")
+
+
+def _string_token_bytes(tok: bytes) -> bytes | None:
+    if tok.startswith(b"("):
+        return _unescape_literal(tok[1:-1])
+    if tok.startswith(b"<"):
+        h = re.sub(rb"\s", b"", tok[1:-1])
+        if len(h) % 2:
+            h += b"0"  # PDF pads an odd final digit with 0
+        try:
+            return bytes.fromhex(h.decode("ascii"))
+        except ValueError:
+            return None
+    return None
+
+
+def _text_from_content(content: bytes) -> list[str]:
+    """Text-show strings from one decoded content stream, in stream order.
+    Tj shows the pending string; TJ shows every string in the preceding
+    array (numbers are kerning, skipped); ' and " are move-and-show."""
+    pieces: list[str] = []
+    for block in _BT_RE.findall(content):
+        pending: list[bytes] = []
+        for m in _TOK_RE.finditer(block):
+            tok = m.group(0)
+            s = _string_token_bytes(tok)
+            if s is not None:
+                pending.append(s)
+                continue
+            if tok in (b"Tj", b"'", b"\""):
+                if pending:
+                    pieces.append(_decode_string(pending[-1]))
+                pending = []
+            elif tok == b"TJ":
+                if pending:
+                    pieces.append(_decode_string(b"".join(pending)))
+                pending = []
+            elif tok == b"T*":
+                pending = []
+    return pieces
+
+
+def _streams(payload: bytes) -> list[bytes]:
+    """stream..endstream bodies, decoded. Linear scan (no dict regex — a
+    backtracking dict grammar is a DoS surface on adversarial bytes). Each
+    body first attempts zlib (FlateDecode is the overwhelmingly common
+    filter and zlib's header+checksum make false positives on raw text
+    practically impossible); on failure the raw bytes are used as-is.
+    /Length is ignored: the nearest-endstream span is the total-function
+    choice when the xref can't be trusted."""
+    out = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        s = payload.find(b"stream", pos)
+        if s < 0:
+            break
+        if payload[s - 3:s] == b"end":  # the 'stream' inside 'endstream'
+            pos = s + 6
+            continue
+        b0 = s + 6
+        if payload[b0:b0 + 2] == b"\r\n":
+            b0 += 2
+        elif payload[b0:b0 + 1] in (b"\n", b"\r"):
+            b0 += 1
+        e = payload.find(b"endstream", b0)
+        if e < 0:
+            break
+        body = payload[b0:e].rstrip(b"\r\n")
+        try:
+            body = zlib.decompressobj().decompress(body, MAX_STREAM_BYTES)
+        except Exception:
+            pass  # raw (or undecodable) stream: keep bytes as-is
+        out.append(body[:MAX_STREAM_BYTES])
+        pos = e + 9
+    return out
+
+
+def extract_pdf_text(payload: bytes | None) -> tuple[str, str]:
+    """PDF bytes -> (extracted_text, status). Total.
+
+    extracted_text is the whitespace-normalized join of all text-show
+    strings in content-stream order (one normalization rule for the whole
+    engine: kernel._normalize). status: 'ok' (text found), 'empty' (no
+    text layer / not parseable as text), 'truncated' (payload over cap,
+    prefix processed).
+    """
+    from llmap_spark.kernel import _normalize
+
+    if not payload:
+        return "", "empty"
+    truncated = len(payload) > MAX_PDF_BYTES
+    if truncated:
+        payload = payload[:MAX_PDF_BYTES]
+    try:
+        pieces: list[str] = []
+        for stream in _streams(payload):
+            pieces.extend(_text_from_content(stream))
+        # a PDF with no stream objects may still inline text operators
+        # (generator never does this, but crawl PDFs exist that do)
+        if not pieces and b"BT" in payload:
+            pieces = _text_from_content(payload)
+        text = _normalize(" ".join(pieces))
+    except Exception:
+        return "", "parse_error"
+    if not text:
+        return "", "empty"
+    return text, ("truncated" if truncated else "ok")
+
+
+# ---------------------------------------------------------------------------
+# deterministic generator (tests + driver roundtrip oracle)
+# ---------------------------------------------------------------------------
+
+def _escape_literal(s: bytes) -> bytes:
+    return s.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _content_stream(text: str, doc_id: int) -> bytes:
+    """BT..ET content exercising Tj, TJ-with-kerning, ' and hex/UTF-16
+    strings, deterministically varied by doc_id and chunk index."""
+    words = text.split()
+    chunks = [" ".join(words[i:i + 8]) for i in range(0, len(words), 8)]
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for ci, chunk in enumerate(chunks):
+        lead = b"" if ci == 0 else b" "  # inter-chunk separator inside shows
+        mode = (doc_id + ci) % 4
+        if not chunk.isascii():
+            mode = 3  # non-ASCII must take the UTF-16BE hex path
+        if mode == 0:
+            ops.append(b"(" + _escape_literal(lead + chunk.encode("latin-1")) + b") Tj")
+        elif mode == 1:
+            ws = chunk.split(" ")
+            mid = max(1, len(ws) // 2)
+            a = lead + " ".join(ws[:mid]).encode("latin-1") + b" "
+            b = " ".join(ws[mid:]).encode("latin-1")
+            ops.append(b"[(" + _escape_literal(a) + b") -120 ("
+                       + _escape_literal(b) + b")] TJ")
+        elif mode == 2:
+            ops.append(b"0 -14 Td (" + _escape_literal(lead + chunk.encode("latin-1"))
+                       + b") Tj")
+        else:
+            enc = b"\xfe\xff" + (lead.decode("latin-1") + chunk).encode("utf-16-be")
+            ops.append(b"<" + enc.hex().encode("ascii") + b"> Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def make_pdf(text: str, doc_id: int = 0, compress: bool | None = None) -> bytes:
+    """Minimal well-formed single-page PDF whose text layer round-trips:
+    extract_pdf_text(make_pdf(t)) == (_normalize(t), 'ok'|'empty').
+    compress=None alternates FlateDecode by doc_id parity."""
+    if compress is None:
+        compress = doc_id % 2 == 0
+    content = _content_stream(text, doc_id)
+    if compress:
+        body = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    else:
+        body, filt = content, b""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length " + str(len(body)).encode() + filt + b" >>stream\n"
+        + body + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, o in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + o + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+            + b"\n%%EOF\n")
+    return bytes(out)

@@ -411,16 +411,19 @@ def test_asof_prior_event(spark):
 
 
 def test_extract_any_dispatch(spark):
-    from llmap_spark.functions.multimodal import extract_any, extract_pdf_text
+    from llmap_spark.functions.multimodal import extract_any
+    from llmap_spark.pdf import make_pdf
 
-    pdf = b"%PDF-1.7\n1 0 obj\n<<>>\nendobj"
-    r = extract_any(pdf)
-    assert r.status == "unsupported_pdf" and r.extracted_text == ""
+    # text-less PDF -> empty status, no exception
+    r = extract_any(b"%PDF-1.7\n1 0 obj\n<<>>\nendobj")
+    assert r.status == "empty" and r.extracted_text == ""
+    # real PDF -> real text through the same dispatch
+    r1 = extract_any(make_pdf("pdf body words extracted through dispatch", 3))
+    assert r1.status == "ok"
+    assert r1.extracted_text == "pdf body words extracted through dispatch"
     html = b"<html><body><p>plain html paragraph with enough words to be kept here</p></body></html>"
     r2 = extract_any(html)
     assert r2.status == "ok" and "plain html paragraph" in r2.extracted_text
-    with pytest.raises(NotImplementedError):
-        extract_pdf_text(pdf)
 
 
 # -- review-fix regressions ---------------------------------------------------

@@ -1,0 +1,111 @@
+"""PDF text-layer kernel tests: generator/extractor roundtrip, escape and
+string-coding coverage, totality on arbitrary bytes, bounded work."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from llmap_spark import pdf
+from llmap_spark.kernel import _normalize
+
+
+CASES = [
+    "simple ascii words only here",
+    "parens (nested (deep)) and \\ backslash \\\\ literals ) stray",
+    "unicode café naïve İstanbul — em-dash ünïcödé",
+    "a longer document " + " ".join(f"word{i}" for i in range(300)),
+    "tabs\tand\nnewlines   collapse",
+]
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 7])
+@pytest.mark.parametrize("text", CASES)
+def test_roundtrip_all_modes(text, doc_id):
+    # doc_id steers Tj / TJ-with-kerning / Td-prefixed / UTF-16BE-hex modes
+    # and FlateDecode vs raw stream coding
+    got, status = pdf.extract_pdf_text(pdf.make_pdf(text, doc_id))
+    assert got == _normalize(text)
+    assert status == "ok"
+
+
+def test_empty_and_whitespace_pdfs():
+    for t in ("", "   \t\n"):
+        got, status = pdf.extract_pdf_text(pdf.make_pdf(t, 0))
+        assert got == "" and status == "empty"
+    assert pdf.extract_pdf_text(None) == ("", "empty")
+    assert pdf.extract_pdf_text(b"") == ("", "empty")
+
+
+def test_octal_and_named_escapes():
+    content = b"BT (A\\101\\x \\( \\) \\\\ B\\n) Tj ET"
+    raw = b"%PDF-1.4\nstream\n" + content + b"\nendstream\n%%EOF"
+    got, status = pdf.extract_pdf_text(raw)
+    # \101 = 'A'; \x (unknown escape) drops the backslash; \n is whitespace
+    assert got == "AAx ( ) \\ B"
+    assert status == "ok"
+
+
+def test_tj_array_kerning_numbers_skipped():
+    content = b"BT [(alpha ) -250 (beta) 120 ( gamma)] TJ ET"
+    raw = b"%PDF-1.4\nstream\n" + content + b"\nendstream\n%%EOF"
+    got, _ = pdf.extract_pdf_text(raw)
+    assert got == "alpha beta gamma"
+
+
+def test_utf16_hex_string():
+    payload = "héllo wörld".encode("utf-16-be")
+    tok = b"<" + (b"\xfe\xff" + payload).hex().encode() + b"> Tj"
+    raw = b"%PDF-1.4\nstream\nBT " + tok + b" ET\nendstream"
+    got, _ = pdf.extract_pdf_text(raw)
+    assert got == "héllo wörld"
+
+
+def test_undecodable_flate_stream_is_skipped():
+    # garbage that is neither valid zlib nor useful raw text
+    raw = (b"%PDF-1.4\n<< /Filter /FlateDecode >>stream\n\x78\x9c\x00broken"
+           b"\nendstream")
+    got, status = pdf.extract_pdf_text(raw)
+    assert status in ("empty", "ok")  # never raises
+
+
+def test_truncation_cap():
+    body = b"BT (tail text) Tj ET"
+    filler = b"%" + b"x" * (pdf.MAX_PDF_BYTES + 100)
+    got, status = pdf.extract_pdf_text(
+        b"%PDF-1.4\nstream\n" + body + b"\nendstream\n" + filler)
+    assert got == "tail text"
+    assert status == "truncated"
+
+
+def test_compressed_and_raw_agree():
+    t = "agreement between codings of the same text layer"
+    a, _ = pdf.extract_pdf_text(pdf.make_pdf(t, compress=True))
+    b, _ = pdf.extract_pdf_text(pdf.make_pdf(t, compress=False))
+    assert a == b == _normalize(t)
+
+
+def test_zip_bomb_bounded():
+    # 200 MB of zeros compressed to ~200 KB: decode must stop at the cap
+    bomb = zlib.compress(b"\x00" * 200_000_000)
+    raw = b"%PDF-1.4\n<< /Filter /FlateDecode >>stream\n" + bomb + b"\nendstream"
+    got, status = pdf.extract_pdf_text(raw)
+    assert status in ("empty", "ok")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=4096))
+def test_total_on_arbitrary_bytes(data):
+    text, status = pdf.extract_pdf_text(data)
+    assert isinstance(text, str)
+    assert status in ("ok", "empty", "truncated", "parse_error")
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=1024))
+def test_total_on_pdfish_bytes(data):
+    framed = b"%PDF-1.4\nstream\n" + data + b"\nendstream\nBT " + data + b" ET"
+    text, status = pdf.extract_pdf_text(framed)
+    assert isinstance(text, str)
