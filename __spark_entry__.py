@@ -341,6 +341,42 @@ def _q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "extracted_text")
 
 
+def _q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media header metadata, driver-verified: deterministic
+    PNG/GIF/JPEG/WAV payloads are generated with dimensions/depth/rate
+    planted as pure doc_id arithmetic, then parsed back from the container
+    headers by llmap_spark.media_meta (stdlib, integer-exact). The oracle
+    recomputes the planted formulas from doc_id — a full encode/parse
+    roundtrip with a hashable SQL twin."""
+    import pandas as pd
+
+    from llmap_spark.media_meta import (make_gif, make_jpeg, make_png,
+                                        make_wav, with_media_meta)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf_ in batches:
+            payloads = []
+            for d in pdf_["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 97, 16 + d % 53
+                k = d % 4
+                if k == 0:
+                    p = make_png(w, h, 8 if d % 2 == 0 else 16)
+                elif k == 1:
+                    p = make_gif(w, h, (d % 8) + 1)
+                elif k == 2:
+                    p = make_jpeg(w, h, 8)
+                else:
+                    p = make_wav(8000 * (1 + d % 6), 1 + d % 2, 8 * (1 + d % 2))
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf_["doc_id"], "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return with_media_meta(payloads, "payload", keep_cols=("doc_id",))
+
+
 def _q_multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.functions.multimodal import (sniff_media_type,
                                                   with_media_features)
@@ -454,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         # multimodal
         "extract_pdf_roundtrip": _q_extract_pdf_roundtrip,
+        "multimodal_image_meta": _q_multimodal_image_meta,
         "multimodal_media_meta": _q_multimodal_media_meta,
     }
 
@@ -484,6 +521,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_pdf_roundtrip": f"""
             SELECT doc_id, {NORM_SQL} AS extracted_text FROM documents
+        """,
+        "multimodal_image_meta": """
+            SELECT doc_id,
+              CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                   WHEN 2 THEN 'image/jpeg' ELSE 'audio/wav' END AS kind,
+              CASE WHEN doc_id % 4 < 3
+                   THEN CAST(16 + doc_id % 97 AS INTEGER) END AS width,
+              CASE WHEN doc_id % 4 < 3
+                   THEN CAST(16 + doc_id % 53 AS INTEGER) END AS height,
+              CAST(CASE doc_id % 4
+                   WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END
+                   WHEN 1 THEN (doc_id % 8) + 1
+                   WHEN 2 THEN 8
+                   ELSE 8 * (1 + doc_id % 2) END AS INTEGER) AS bit_depth,
+              CASE WHEN doc_id % 4 = 3
+                   THEN CAST(8000 * (1 + doc_id % 6) AS INTEGER) END AS sample_rate,
+              CASE WHEN doc_id % 4 = 3
+                   THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels
+            FROM documents
         """,
         "token_count": f"""
             SELECT doc_id, CASE WHEN length({NORM_SQL}) = 0 THEN 0

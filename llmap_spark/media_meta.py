@@ -1,0 +1,185 @@
+"""Stdlib-only media header metadata: PNG / GIF / JPEG dimensions + bit
+depth, WAV sample rate / channels / bits — parsed from container headers,
+no codec library.
+
+Replaces the round-1 byte-histogram stand-in as the *metadata* half of the
+multimodal story: full pixel/sample decode still needs codec libs (the
+`decode_image` seam in functions/multimodal.py), but the typed metadata a
+100 TB pipeline actually filters on (kind, dimensions, depth, sample rate)
+is reachable from the first dozens of bytes. All integer-exact, so the
+driver can verify the parse against a planted-value SQL oracle.
+
+Total: any byte input returns a row of nulls rather than raising (the same
+never-throw rule as the HTML and PDF kernels). Matching deterministic
+generators (make_png / make_gif / make_jpeg / make_wav) produce minimal
+well-formed files for tests and the driver roundtrip query; make_png emits
+a fully valid file (correct CRCs, decodable IDAT), the others emit the
+minimal header + trailer framing their formats require.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import NamedTuple
+
+MEDIA_META_SCHEMA = ("kind string, width int, height int, bit_depth int, "
+                     "sample_rate int, channels int")
+
+# JPEG start-of-frame markers (C0-CF minus DHT C4, JPG C8, DAC CC)
+_SOF_MARKERS = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+_STANDALONE = {0x01, 0xD8} | set(range(0xD0, 0xDA))  # no length field
+
+
+class MediaMeta(NamedTuple):
+    kind: str | None
+    width: int | None
+    height: int | None
+    bit_depth: int | None
+    sample_rate: int | None
+    channels: int | None
+
+
+_NULL = MediaMeta(None, None, None, None, None, None)
+
+
+def _png(b: bytes) -> MediaMeta:
+    if len(b) < 26 or b[12:16] != b"IHDR":
+        return MediaMeta("image/png", None, None, None, None, None)
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    return MediaMeta("image/png", w, h, b[24], None, None)
+
+
+def _gif(b: bytes) -> MediaMeta:
+    if len(b) < 11:
+        return MediaMeta("image/gif", None, None, None, None, None)
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    depth = (b[10] & 0x07) + 1  # global color table size exponent
+    return MediaMeta("image/gif", w, h, depth, None, None)
+
+
+def _jpeg(b: bytes) -> MediaMeta:
+    i, n = 2, len(b)
+    while i + 1 < n:
+        if b[i] != 0xFF:
+            break
+        marker = b[i + 1]
+        if marker in _STANDALONE:
+            i += 2
+            continue
+        if i + 4 > n:
+            break
+        seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+        if marker in _SOF_MARKERS:
+            if i + 9 > n:
+                break
+            precision = b[i + 4]
+            h = int.from_bytes(b[i + 5:i + 7], "big")
+            w = int.from_bytes(b[i + 7:i + 9], "big")
+            return MediaMeta("image/jpeg", w, h, precision, None, None)
+        if seg_len < 2:
+            break
+        i += 2 + seg_len
+    return MediaMeta("image/jpeg", None, None, None, None, None)
+
+
+def _wav(b: bytes) -> MediaMeta:
+    # walk RIFF chunks for 'fmt '
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        cid = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            ch = int.from_bytes(b[i + 10:i + 12], "little")
+            sr = int.from_bytes(b[i + 12:i + 16], "little")
+            bits = int.from_bytes(b[i + 22:i + 24], "little")
+            return MediaMeta("audio/wav", None, None, bits, sr, ch)
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    return MediaMeta("audio/wav", None, None, None, None, None)
+
+
+def parse_media_meta(payload: bytes | None) -> MediaMeta:
+    """Header metadata by magic-byte dispatch. Total: unknown/short/corrupt
+    payloads yield nulls (kind too, when the magic is unrecognized)."""
+    if not payload or len(payload) < 4:
+        return _NULL
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _png(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _gif(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            return _jpeg(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _wav(payload)
+    except Exception:
+        return _NULL
+    return _NULL
+
+
+def with_media_meta(df, binary_col: str, keep_cols: tuple[str, ...] = ()):
+    """Spark wrapper: header metadata per row via mapInPandas (Arrow
+    batches; the payload never passes through row-at-a-time Python UDFs),
+    carrying `keep_cols` through untouched."""
+    import pandas as pd
+
+    cols = list(keep_cols) + [binary_col]
+    carry_ddl = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in keep_cols)
+    out_schema = (carry_ddl + ", " if carry_ddl else "") + MEDIA_META_SCHEMA
+
+    def fn(batches):
+        for pdf_ in batches:
+            metas = [parse_media_meta(v) for v in pdf_[binary_col]]
+            out = pd.DataFrame(metas, columns=list(MediaMeta._fields))
+            for c in reversed(list(keep_cols)):
+                out.insert(0, c, pdf_[c].reset_index(drop=True))
+            yield out
+
+    return df.select(*cols).mapInPandas(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# deterministic generators (tests + driver roundtrip oracle)
+# ---------------------------------------------------------------------------
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def make_png(width: int, height: int, bit_depth: int = 8) -> bytes:
+    """Fully valid grayscale PNG (correct CRCs, decodable zero IDAT)."""
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 0, 0, 0, 0)
+    row_bytes = (width * bit_depth + 7) // 8
+    raw = (b"\x00" + b"\x00" * row_bytes) * height
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def make_gif(width: int, height: int, bit_depth: int = 8) -> bytes:
+    packed = 0x80 | ((bit_depth - 1) & 0x07)  # GCT flag + table size
+    gct = b"\x00" * (3 * (1 << bit_depth))
+    return (b"GIF89a" + struct.pack("<HH", width, height)
+            + bytes([packed, 0, 0]) + gct + b";")
+
+
+def make_jpeg(width: int, height: int, precision: int = 8) -> bytes:
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x01"
+            + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    sof0 = (b"\xff\xc0" + struct.pack(">HBHHB", 11, precision, height, width, 1)
+            + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_wav(sample_rate: int, channels: int = 1, bits: int = 16,
+             n_frames: int = 4) -> bytes:
+    block = channels * bits // 8
+    data = b"\x00" * (n_frames * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -1,0 +1,106 @@
+"""Media header metadata kernel: generator/parser roundtrips, totality,
+and the Spark wrapper's carry/determinism contract."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from llmap_spark import media_meta as mm
+
+
+@pytest.mark.parametrize("w,h,d", [(1, 1, 1), (16, 16, 8), (640, 480, 16),
+                                   (65535, 1, 2)])
+def test_png_roundtrip(w, h, d):
+    got = mm.parse_media_meta(mm.make_png(w, h, d))
+    assert got == ("image/png", w, h, d, None, None)
+
+
+def test_png_is_fully_valid():
+    """make_png claims full validity: IDAT must inflate to the exact
+    scanline byte count and every chunk CRC must check."""
+    b = mm.make_png(20, 7, 8)
+    i = 8
+    while i < len(b):
+        ln = int.from_bytes(b[i:i + 4], "big")
+        ctype = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + ln]
+        crc = int.from_bytes(b[i + 8 + ln:i + 12 + ln], "big")
+        assert crc == zlib.crc32(ctype + data) & 0xFFFFFFFF
+        if ctype == b"IDAT":
+            assert len(zlib.decompress(data)) == 7 * (1 + 20)
+        i += 12 + ln
+    assert b.endswith(mm._png_chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("w,h,d", [(1, 1, 1), (99, 77, 5), (65535, 65535, 8)])
+def test_gif_roundtrip(w, h, d):
+    assert mm.parse_media_meta(mm.make_gif(w, h, d)) == (
+        "image/gif", w, h, d, None, None)
+
+
+@pytest.mark.parametrize("w,h,p", [(1, 1, 8), (1024, 768, 8), (400, 300, 12)])
+def test_jpeg_roundtrip(w, h, p):
+    assert mm.parse_media_meta(mm.make_jpeg(w, h, p)) == (
+        "image/jpeg", w, h, p, None, None)
+
+
+@pytest.mark.parametrize("sr,ch,bits", [(8000, 1, 8), (44100, 2, 16),
+                                        (48000, 2, 24)])
+def test_wav_roundtrip(sr, ch, bits):
+    assert mm.parse_media_meta(mm.make_wav(sr, ch, bits)) == (
+        "audio/wav", None, None, bits, sr, ch)
+
+
+def test_corrupt_headers_give_nulls_not_exceptions():
+    assert mm.parse_media_meta(None) == mm._NULL
+    assert mm.parse_media_meta(b"") == mm._NULL
+    assert mm.parse_media_meta(b"\x00" * 40) == mm._NULL
+    # right magic, truncated body: kind survives, dims null
+    assert mm.parse_media_meta(b"\x89PNG\r\n\x1a\n\x00\x00") == (
+        "image/png", None, None, None, None, None)
+    assert mm.parse_media_meta(b"GIF89a\x01") == (
+        "image/gif", None, None, None, None, None)
+    assert mm.parse_media_meta(b"\xff\xd8\xff\xff") == (
+        "image/jpeg", None, None, None, None, None)
+    assert mm.parse_media_meta(b"RIFF\x00\x00\x00\x00WAVEjunk") == (
+        "audio/wav", None, None, None, None, None)
+
+
+def test_jpeg_skips_leading_segments():
+    # APP0 + COM before SOF0 must be walked over, not break the scan
+    com = b"\xff\xfe" + (5).to_bytes(2, "big") + b"abc"
+    b = mm.make_jpeg(55, 44, 8)
+    with_com = b[:2] + com + b[2:]
+    assert mm.parse_media_meta(with_com) == ("image/jpeg", 55, 44, 8, None, None)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=128))
+def test_total_on_arbitrary_bytes(data):
+    for prefix in (b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8\xff",
+                   b"RIFF\x10\x00\x00\x00WAVE"):
+        r = mm.parse_media_meta(prefix + data)
+        assert isinstance(r, mm.MediaMeta)
+
+
+def test_spark_wrapper_carries_and_is_deterministic(spark):
+    rows = [(1, mm.make_png(10, 20, 8)), (2, mm.make_gif(5, 6, 3)),
+            (3, mm.make_jpeg(7, 8, 8)), (4, mm.make_wav(16000, 1, 16)),
+            (5, None), (6, b"\x00garbage")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: (r.kind, r.width, r.height, r.bit_depth, r.sample_rate,
+                  r.channels)
+           for r in mm.with_media_meta(df, "payload", keep_cols=("id",)).collect()}
+    assert out[1] == ("image/png", 10, 20, 8, None, None)
+    assert out[2] == ("image/gif", 5, 6, 3, None, None)
+    assert out[3] == ("image/jpeg", 7, 8, 8, None, None)
+    assert out[4] == ("audio/wav", None, None, 16, 16000, 1)
+    assert out[5] == (None,) * 6
+    assert out[6] == (None,) * 6
+    out2 = {r.id: (r.kind, r.width, r.height, r.bit_depth, r.sample_rate,
+                   r.channels)
+            for r in mm.with_media_meta(df, "payload", keep_cols=("id",)).collect()}
+    assert out == out2
