@@ -1,0 +1,51 @@
+"""End-to-end training-data curation plan: the product story the operator
+families build toward, composed as one lazy DataFrame transform.
+
+    documents
+      -> quality gate           (C4/Gopher-style integer features, JVM-side)
+      -> exact dedup            (md5 fingerprint, keep cluster representative)
+      -> MinHash LSH            (banded candidate pairs, skew-capped buckets)
+      -> verify                 (signature-agreement threshold)
+      -> connected components  (pointer-doubling min-label clusters)
+      -> keep list              (drop every non-representative cluster member)
+
+Mirrors the reference's funnel shape end-to-end (coarse gate -> survivors ->
+refine -> combine; reference llmap.py:139-229) at corpus scale: every stage
+is a lazy transform, no driver-side data, and the expensive stages only see
+survivors of the cheap ones. The whole chain is genuinely non-SQL-expressible
+(hash signatures + an iterative fixpoint), so the driver records rows-only;
+pytest pins the kept-set semantics on planted data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def kept_documents(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   verify_jaccard: float = 0.5,
+                   cc_max_iter: int = 50) -> DataFrame:
+    """Curated keep-list: one row per surviving doc id.
+
+    A doc survives iff it (1) passes the quality gate, (2) is its exact-hash
+    cluster representative, and (3) is the minimum id of its near-dup
+    component (or near-dups with nothing). Deterministic: every rule is
+    integer arithmetic or a seeded hash.
+    """
+    from llmap_spark.operators.dedup import (connected_components,
+                                             exact_dedup,
+                                             minhash_lsh_candidates)
+    from llmap_spark.operators.textstats import quality_features
+
+    q = quality_features(docs).filter(F.col("q_keep"))
+    reps = exact_dedup(q, id_col=id_col, text_col=text_col) \
+        .filter(~F.col("is_dup"))
+    cand = minhash_lsh_candidates(reps, id_col=id_col, text_col=text_col)
+    verified = cand.filter(F.col("est_jaccard") >= verify_jaccard)
+    comp = connected_components(verified, max_iter=cc_max_iter)
+    near_dup_losers = (
+        comp.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    return reps.join(near_dup_losers, id_col, "left_anti").select(id_col)

@@ -452,6 +452,39 @@ def test_shingleless_docs_are_not_duplicates(spark):
     assert all(a not in (1, 2, 3, 4) and b not in (1, 2, 3, 4) for a, b in sh)
 
 
+def test_training_pipeline_kept_documents(spark, docs):
+    """End-to-end curation on planted data: low-quality docs gated, exact
+    duplicates collapse to the min id, near-duplicates collapse to the min
+    id of their component, everything else survives."""
+    from llmap_spark.plans.training import kept_documents
+
+    base = docs.limit(40)  # real corpus docs: all pass the quality gate
+    exact_dup = (base.filter("doc_id < 5")
+                 .withColumn("doc_id", F.col("doc_id") + 200000))
+    near_dup = (base.filter("doc_id >= 5 and doc_id < 10")
+                .withColumn("doc_id", F.col("doc_id") + 300000)
+                .withColumn("text", F.concat(F.col("text"), F.lit(" tiny tail"))))
+    junk = spark.createDataFrame(
+        [(400000, "short"), (400001, "zz qq"), (400002, "")],
+        "doc_id long, text string").withColumn("lang", F.lit("en")) \
+        .withColumn("n_chars", F.length("text"))
+    allr = base.unionByName(exact_dup.select(*junk.columns)
+                            .unionByName(near_dup.select(*junk.columns))
+                            .unionByName(junk), allowMissingColumns=True)
+    kept = {r.doc_id for r in kept_documents(allr).collect()}
+    # every planted duplicate/junk id is gone; winners are originals
+    assert all(k < 40 for k in kept)
+    assert set(range(5)) <= kept          # exact-dup winners survive
+    assert set(range(5, 10)) <= kept      # near-dup winners survive
+    # corpus-specific but deterministic facts (sf0.001 documents):
+    # 14/27/32/33 fail the quality gate; 12 is a GENUINE near-dup of 8
+    # already present in the corpus (est_jaccard ~0.98) and loses to it
+    assert kept == set(range(40)) - {14, 27, 32, 33, 12}
+    # determinism
+    kept2 = {r.doc_id for r in kept_documents(allr).collect()}
+    assert kept == kept2
+
+
 def test_connected_components_nonconvergence_raises(spark):
     from llmap_spark.operators.dedup import connected_components
 
