@@ -75,13 +75,23 @@ def main() -> int:
         ("textstats", lambda: noop(
             fingerprint(quality_features(lang_id(docs))))),
         ("dedup_exact", lambda: noop(exact_dedup(docs))),
-        ("dedup_minhash_lsh", lambda: noop(minhash_lsh_candidates(docs))),
+        # materialize=True: the lazy default would leave the signature
+        # cache persisted for the rest of the bench session
+        ("dedup_minhash_lsh", lambda: noop(
+            minhash_lsh_candidates(docs, materialize=True))),
         ("ann_brute_force", lambda: noop(
             brute_force_topk(spark, emb, emb, k=10))),
         ("windowed_events", lambda: noop(
             entry._q_windowed_events(spark, sf_dir))),
         ("topk_per_user", lambda: noop(
             entry._q_topk_per_user(spark, sf_dir))),
+        # PDF text layer: generate + extract in one plan (generation is the
+        # smaller half; the timing is honest about including it)
+        ("pdf_gen_extract", lambda: noop(
+            entry._q_extract_pdf_roundtrip(spark, sf_dir))),
+        # the composed curation chain (quality -> dedup -> LSH -> CC)
+        ("pipeline_kept_docs", lambda: noop(
+            entry._q_pipeline_kept_docs(spark, sf_dir))),
     ]
 
     # warmup (untimed): python workers + codegen + shuffle spin-up, so the

