@@ -64,13 +64,18 @@ def _q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible byte-identity oracle)."""
     from llmap_spark.plans.pipeline import ExtractConfig, extract
 
-    ex = extract(_pages(spark, sf_dir), ExtractConfig())
+    # filter BEFORE extract: Catalyst cannot push predicates through
+    # mapInArrow (a black-box 1:N operator), so filtering afterwards would
+    # pay full extraction for every page; per-row extraction commutes with
+    # row filters, so pre-filtering is result-identical (and pushes the url
+    # predicate into the parquet scan)
+    pages = _pages(spark, sf_dir).filter(F.col("url").like("%/t0/%"))
+    ex = extract(pages, ExtractConfig())
     # first copy of each doc only: page index == doc_id (template cycles
     # (i // ndocs) % 8, so t0 recurs at copy 8 — the url carries both ids)
     return (
-        ex.filter(F.col("url").like("%/t0/%"))
-        .filter(F.regexp_extract("url", r"/d(\d+)/p", 1)
-                == F.regexp_extract("url", r"/p(\d+)$", 1))
+        ex.filter(F.regexp_extract("url", r"/d(\d+)/p", 1)
+                  == F.regexp_extract("url", r"/p(\d+)$", 1))
         .select(
             F.regexp_extract("url", r"/d(\d+)/p", 1).cast("long").alias("doc_id"),
             "extracted_text")
@@ -104,10 +109,12 @@ def _q_extract_t0_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked, not rows-only."""
     from llmap_spark.plans.pipeline import ExtractConfig, extract
 
-    ex = extract(_pages(spark, sf_dir), ExtractConfig())
+    # pre-filter the scan (mapInArrow blocks predicate pushdown; a per-row
+    # transform commutes with row filters — see extract_roundtrip)
+    pages = _pages(spark, sf_dir).filter(F.col("url").like("%/t0/%"))
+    ex = extract(pages, ExtractConfig())
     return (
-        ex.filter(F.col("url").like("%/t0/%"))
-        .select(
+        ex.select(
             F.regexp_extract("url", r"/d(\d+)/p", 1).cast("long").alias("doc_id"),
             F.regexp_extract("url", r"/p(\d+)$", 1).cast("long").alias("page_i"),
             "lang", "extracted_text", "n_blocks_kept", "n_blocks_total",
