@@ -42,3 +42,17 @@ def test_dim_joins_are_broadcast(spark):
     plan = _plan(e.queries()["orders_per_region"](spark, "/root/testdata/sf0.001"))
     assert plan.count("BroadcastHashJoin") == 3     # all three dims broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_t0_filter_reaches_the_scan(spark):
+    """mapInArrow blocks predicate pushdown, so the t0 url filter must be
+    applied BELOW the extraction UDF (on the scan) or every page pays
+    extraction; pinned here after fixing exactly that regression."""
+    import __spark_entry__ as e
+
+    for q in ("extract_roundtrip", "extract_t0_full"):
+        plan = _plan(e.queries()[q](spark, "/root/testdata/sf0.001"))
+        scan = plan[plan.index("FileScan"):]
+        assert "Contains(url" in scan  # pushed into DataFilters
+        pre_udf = plan[plan.index("MapInArrow"):]
+        assert "Contains(url" in pre_udf  # i.e. below the UDF, not above
