@@ -359,6 +359,15 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "rank")
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the corpus via the scale path
+    (IVF on both sides — no driver-side collect of either side)."""
+    from llmap_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(spark, _emb(spark, sf_dir),
+                                   threshold=0.9, k=5).select("id_a", "id_b")
+
+
 def _q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PDF text extraction, driver-verified: documents are rendered
     into minimal PDFs (deterministically varied Tj/TJ/hex string codings and
@@ -536,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_int": _q_embedding_topk_int,
         "ann_brute_force": _q_ann_brute_force,
         "ann_ivf": _q_ann_ivf,
+        "embedding_neardup": _q_embedding_neardup,
         # multimodal
         "extract_pdf_roundtrip": _q_extract_pdf_roundtrip,
         "multimodal_image_meta": _q_multimodal_image_meta,
