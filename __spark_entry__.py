@@ -204,6 +204,22 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (MOSS scheme; local —
+    detects PARTIAL overlap, unlike md5/MinHash whole-doc schemes)."""
+    from llmap_spark.operators.fingerprints import doc_fingerprints
+
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs from shared winnowed fingerprints
+    (hot-fingerprint df-cap guards the self-join)."""
+    from llmap_spark.operators.fingerprints import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_docs(spark, sf_dir), min_shared=2)
+
+
 def _q_collate_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.binpack import collate_approx
 
@@ -525,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_components": _q_dedup_components,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "winnow_overlap": _q_winnow_overlap,
         # reference operator analogues
         "collate_binpack": _q_collate_binpack,
         "collate_binpack_bucketed": _q_collate_binpack_bucketed,

@@ -1,0 +1,118 @@
+"""Document fingerprinting via rolling hashes + winnowing (Schleimer,
+Wilkerson, Aiken — the MOSS local fingerprinting scheme).
+
+Complements the other dedup families: md5 catches EXACT duplicates,
+MinHash/SimHash catch whole-document NEAR duplicates; winnowing catches
+PARTIAL overlap — a paragraph lifted from one document into another —
+because its fingerprints are local. Guarantee: any shared (normalized)
+substring of length >= k + window - 1 chars contributes at least one
+shared fingerprint (the winnowing theorem), while per-doc fingerprint
+count stays ~2/(window+1) of the k-gram count.
+
+Spark shape: fingerprints are a numpy-vectorized pandas_udf (the same
+polynomial rolling hash + murmur finalizer the MinHash shingles use);
+overlap detection is explode -> equi-join on fingerprint -> group count,
+with a document-frequency cap on hot fingerprints (boilerplate phrases)
+guarding the join from quadratic blowup — the same skew discipline as the
+LSH bucket cap. Rolling-hash math never enters SQL, so the driver records
+rows-only; pytest pins the UDF against a pure-python reimplementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from llmap_spark.operators.dedup import _FNV, _mix64
+
+
+def _rolling_hashes(text: str, k: int) -> np.ndarray:
+    """POSITIONAL 64-bit k-gram hashes over the normalized char stream
+    (same hash family as dedup._shingle_hashes, but order-preserving and
+    undeduplicated — winnowing needs positions)."""
+    t = " ".join(text.split()).lower()
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+    if b.size < k:
+        return np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    pw = _FNV ** np.arange(k, dtype=np.uint64)  # wraparound mod 2^64 is fine
+    return _mix64((win * pw[None, :]).sum(axis=1, dtype=np.uint64))
+
+
+def winnow(hashes: np.ndarray, window: int) -> np.ndarray:
+    """Select the RIGHTMOST minimal hash of every length-`window` window
+    (robust winnowing: rightmost tie-break minimizes selected positions),
+    deduplicate positions, return the selected values sorted. Vectorized:
+    one sliding-window view + argmin over the reversed axis."""
+    n = hashes.size
+    if n == 0:
+        return hashes
+    if n <= window:
+        return np.sort(np.unique(hashes.min(keepdims=True)))
+    wins = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    # rightmost argmin == window-1 - argmin(reversed)
+    right_amin = window - 1 - np.argmin(wins[:, ::-1], axis=1)
+    pos = np.unique(np.arange(wins.shape[0]) + right_amin)
+    return np.sort(np.unique(hashes[pos]))
+
+
+def winnow_fingerprints_udf(k: int = 16, window: int = 8):
+    """pandas_udf: text -> array<long> winnowed fingerprints. NULL for
+    texts shorter than one k-gram (nothing to fingerprint — a shared
+    sentinel would spuriously match all tiny docs, same rationale as the
+    MinHash NULL signature)."""
+
+    @pandas_udf("array<long>")
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = _rolling_hashes(t or "", k)
+            if h.size == 0:
+                out.append(None)
+                continue
+            out.append(winnow(h, window).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return fp
+
+
+def doc_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 16,
+                     window: int = 8) -> DataFrame:
+    """One row per (doc, fingerprint): the exploded winnowed set."""
+    return (
+        df.select(F.col(id_col),
+                  winnow_fingerprints_udf(k, window)(F.col(text_col)).alias("_fps"))
+        .filter(F.col("_fps").isNotNull())
+        .select(id_col, F.explode("_fps").alias("fp"))
+    )
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 16,
+                         window: int = 8, min_shared: int = 2,
+                         max_df: int = 200) -> DataFrame:
+    """Partial-overlap candidate pairs: docs sharing >= `min_shared`
+    winnowed fingerprints, as (id_a, id_b, n_shared) with id_a < id_b.
+
+    Fingerprints present in more than `max_df` documents are dropped
+    before the self-join (boilerplate/stop phrases — the analogue of the
+    LSH hot-bucket cap; without it one viral phrase makes the join
+    quadratic in corpus size). The window count rides the same
+    fingerprint shuffle the join needs.
+    """
+    fps = doc_fingerprints(df, id_col, text_col, k, window)
+    pruned = (
+        fps.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+    a = pruned.select(F.col(id_col).alias("id_a"), "fp")
+    b = pruned.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
