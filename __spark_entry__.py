@@ -167,6 +167,13 @@ def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_stop_hits", "mwl_x100", "q_keep")
 
 
+def _q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llmap_spark.operators.textstats import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir)).select(
+        "doc_id", "dup_2gram_x1000", "dup_3gram_x1000")
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.dedup import exact_dedup
 
@@ -535,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
+        "repetition_score": _q_repetition_score,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -702,6 +710,26 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0 END) BETWEEN 200 AND 1200
                 AND n_stop_hits >= 1) AS q_keep
             FROM q
+        """,
+        "repetition_score": f"""
+            WITH d AS (SELECT doc_id, {w_norm} AS w FROM documents),
+            g AS (SELECT doc_id,
+              CASE WHEN len(w) >= 2 THEN list_transform(
+                     generate_series(1, len(w) - 1), i -> w[i]||' '||w[i+1])
+                   ELSE [] END AS g2,
+              CASE WHEN len(w) >= 3 THEN list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> w[i]||' '||w[i+1]||' '||w[i+2])
+                   ELSE [] END AS g3
+              FROM d)
+            SELECT doc_id,
+              CASE WHEN len(g2) > 0 THEN CAST(floor(
+                1000 * (len(g2) - len(list_distinct(g2))) / len(g2)) AS int)
+                ELSE 0 END AS dup_2gram_x1000,
+              CASE WHEN len(g3) > 0 THEN CAST(floor(
+                1000 * (len(g3) - len(list_distinct(g3))) / len(g3)) AS int)
+                ELSE 0 END AS dup_3gram_x1000
+            FROM g
         """,
         "dedup_exact": f"""
             SELECT doc_id, md5({NORM_SQL}) AS fingerprint,

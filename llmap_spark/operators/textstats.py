@@ -94,6 +94,31 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: duplicate word-n-gram fractions
+    (n = 2, 3) as x1000 integers — high values mark machine-generated /
+    boilerplate-looping text. Pure JVM array expressions (split +
+    transform + array_distinct), integer-exact and portable to the SQL
+    oracle: floor(1000 * (n_grams - n_distinct) / n_grams)."""
+    squeezed = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    df = df.withColumn("_w", F.split(squeezed, " "))
+    for n in (2, 3):
+        gram_body = "concat_ws(' ', " + ", ".join(
+            f"_w[i-1+{j}]" for j in range(n)) + ")"
+        grams = F.expr(
+            f"case when size(_w) >= {n} then "
+            f"transform(sequence(1, size(_w) - {n - 1}), i -> {gram_body}) "
+            "else array() end")
+        df = df.withColumn(f"_g{n}", grams).withColumn(
+            f"dup_{n}gram_x1000",
+            F.when(F.size(f"_g{n}") > 0,
+                   F.floor(F.lit(1000)
+                           * (F.size(f"_g{n}") - F.size(F.array_distinct(f"_g{n}")))
+                           / F.size(f"_g{n}")).cast("int"))
+            .otherwise(F.lit(0)))
+    return df.drop("_w", "_g2", "_g3")
+
+
 def lang_id(df: DataFrame, text_col: str = "text",
             out_col: str = "pred_lang") -> DataFrame:
     """N-gram-heuristic language id: count language marker words, argmax

@@ -76,6 +76,24 @@ def test_fingerprint_matches_duckdb(spark, docs):
     assert got == want
 
 
+def test_repetition_features_planted(spark):
+    from llmap_spark.operators.textstats import repetition_features
+
+    rows = [
+        (1, "all words here are completely distinct from one another today"),
+        (2, "spam spam spam spam spam spam spam spam spam spam"),
+        (3, "x"),   # fewer words than a 2-gram
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.dup_2gram_x1000, r.dup_3gram_x1000)
+           for r in repetition_features(df).collect()}
+    assert got[1] == (0, 0)
+    assert got[2] == (888, 875)  # 9 2-grams 1 distinct; 8 3-grams 1 distinct
+    assert got[3] == (0, 0)
+    assert got[4] == (0, 0)
+
+
 # -- dedup ------------------------------------------------------------------
 
 def test_exact_dedup_finds_planted_dups(spark, docs):
