@@ -75,17 +75,24 @@ def winnow_fingerprints_udf(k: int = 16, window: int = 8):
             out.append(winnow(h, window).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return fp
+    # the function IS deterministic; the flag only stops the optimizer
+    # from cloning it (InferFiltersFromGenerate inserts a pre-explode
+    # null/size filter with a SECOND ArrowEvalPython — doubling the most
+    # expensive stage; verified in the physical plan)
+    return fp.asNondeterministic()
 
 
 def doc_fingerprints(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", k: int = 16,
                      window: int = 8) -> DataFrame:
-    """One row per (doc, fingerprint): the exploded winnowed set."""
+    """One row per (doc, fingerprint): the exploded winnowed set.
+
+    No NULL filter: explode() drops NULL arrays by itself, and an explicit
+    filter on the UDF column would make Spark evaluate the UDF twice
+    (once for the predicate, once for the projection — seen in the plan)."""
     return (
         df.select(F.col(id_col),
                   winnow_fingerprints_udf(k, window)(F.col(text_col)).alias("_fps"))
-        .filter(F.col("_fps").isNotNull())
         .select(id_col, F.explode("_fps").alias("fp"))
     )
 
@@ -98,21 +105,30 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     winnowed fingerprints, as (id_a, id_b, n_shared) with id_a < id_b.
 
     Fingerprints present in more than `max_df` documents are dropped
-    before the self-join (boilerplate/stop phrases — the analogue of the
-    LSH hot-bucket cap; without it one viral phrase makes the join
-    quadratic in corpus size). The window count rides the same
-    fingerprint shuffle the join needs.
+    (boilerplate/stop phrases — the analogue of the LSH hot-bucket cap;
+    without it one viral phrase makes pair generation quadratic in corpus
+    size).
+
+    Plan shape: ONE UDF pass, two shuffles. Instead of a self-join (which
+    evaluates the fingerprint subtree once per side), docs sharing a
+    fingerprint are grouped — groupBy(fp) + collect_list — and pairs are
+    generated inside the array with a JVM transform; the df cap is just a
+    size() filter on the same aggregate, no extra window or anti-join.
+    Group size is bounded by max_df, so the in-array pair expansion is
+    bounded at max_df^2/2 per fingerprint by construction.
     """
     fps = doc_fingerprints(df, id_col, text_col, k, window)
-    pruned = (
-        fps.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
-        .filter(F.col("_df") <= max_df)
-        .drop("_df")
+    byfp = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
     )
-    a = pruned.select(F.col(id_col).alias("id_a"), "fp")
-    b = pruned.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = byfp.select(F.explode(F.flatten(F.expr(
+        "transform(ids, (x, i) -> transform("
+        "  slice(ids, i + 2, size(ids) - i - 1),"
+        "  y -> struct(x AS id_a, y AS id_b)))"
+    ))).alias("p")).select("p.id_a", "p.id_b")
     return (
-        a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared"))
+        pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

@@ -56,3 +56,14 @@ def test_t0_filter_reaches_the_scan(spark):
         assert "Contains(url" in scan  # pushed into DataFilters
         pre_udf = plan[plan.index("MapInArrow"):]
         assert "Contains(url" in pre_udf  # i.e. below the UDF, not above
+
+
+def test_winnow_overlap_single_udf_pass(spark):
+    """Pair generation must evaluate the fingerprint UDF exactly once: the
+    self-join formulation ran it 4x (2 sides x filter+explode), and
+    InferFiltersFromGenerate clones deterministic UDFs into a pre-explode
+    filter — both fixed (groupBy-fp pairing + asNondeterministic)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["winnow_overlap"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("ArrowEvalPython") == 1
