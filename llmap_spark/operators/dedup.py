@@ -114,7 +114,11 @@ def minhash_signature_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 
             out.append(m.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return sig
+    # deterministic in fact; the flag stops the optimizer cloning the UDF
+    # into the downstream isNotNull filter (CollapseProject otherwise
+    # yields TWO ArrowEvalPython nodes — the signature pass ran twice per
+    # row even under persist; verified in the physical plan)
+    return sig.asNondeterministic()
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -234,7 +238,9 @@ def simhash_udf(seed: int = 42):
             out[i] = np.int64(np.uint64(v).astype(np.int64))
         return pd.Series(out)
 
-    return sim
+    # see minhash_signature_udf: blocks optimizer UDF cloning into the
+    # sh != 0 filter
+    return sim.asNondeterministic()
 
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -263,6 +269,11 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     # sh=0 marks word-less docs (see simhash_udf) — they are not duplicates
     # of each other, just empty; exclude them from blocking
     s = s.filter(F.col("sh") != 0)
+    # both self-join sides consume the UDF subtree; persist so the text
+    # pass happens once (tiny rows: id + one long). Same lazy-cache
+    # contract as minhash_lsh_candidates: session-scoped, caller may
+    # unpersist via spark.catalog.clearCache() in long-lived apps.
+    s = s.persist()
     bands = []
     off = 0
     for k, w in enumerate(widths):
