@@ -382,6 +382,16 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "rank")
 
 
+def _q_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (random-hyperplane sketch + lossless
+    Hamming banding + exact JVM cosine verify) — the hash-bucketed sibling
+    of the IVF path."""
+    from llmap_spark.operators.similarity import embedding_lsh_neardup
+
+    return embedding_lsh_neardup(_emb(spark, sf_dir), max_hamming=6,
+                                 threshold=0.9)
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over the corpus via the scale path
     (IVF on both sides — no driver-side collect of either side)."""
@@ -572,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": _q_ann_brute_force,
         "ann_ivf": _q_ann_ivf,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_lsh_neardup": _q_embedding_lsh_neardup,
         # multimodal
         "extract_pdf_roundtrip": _q_extract_pdf_roundtrip,
         "multimodal_image_meta": _q_multimodal_image_meta,

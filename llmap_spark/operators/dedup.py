@@ -258,21 +258,31 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     n^2 * bands / 2^width per band). Radii beyond ~7 on a 64-bit
     fingerprint want a wider fingerprint, not more bands.
     """
-    n_bands = max_hamming + 1
-    if not 1 <= n_bands <= 16:
-        raise ValueError(f"max_hamming={max_hamming} out of range for a "
-                         "64-bit simhash; use a wider fingerprint")
-    base, rem = divmod(64, n_bands)
-    widths = [base + 1 if k < rem else base for k in range(n_bands)]
     s = df.select(F.col(id_col).alias("_id"),
                   simhash_udf()(F.col(text_col)).alias("sh"))
     # sh=0 marks word-less docs (see simhash_udf) — they are not duplicates
     # of each other, just empty; exclude them from blocking
     s = s.filter(F.col("sh") != 0)
-    # both self-join sides consume the UDF subtree; persist so the text
-    # pass happens once (tiny rows: id + one long). Same lazy-cache
-    # contract as minhash_lsh_candidates: session-scoped, caller may
-    # unpersist via spark.catalog.clearCache() in long-lived apps.
+    return hamming_band_pairs(s, max_hamming)
+
+
+def hamming_band_pairs(s: DataFrame, max_hamming: int) -> DataFrame:
+    """Generic lossless Hamming blocking over a 64-bit sketch column:
+    input (_id long, sh long) -> (id_a, id_b, hamming) for all pairs with
+    Hamming(sh_a, sh_b) <= max_hamming. Pigeonhole over max_hamming+1
+    disjoint bands; verify is JVM bit_count(xor). Shared by the text
+    SimHash and the random-hyperplane embedding sketch
+    (similarity.embedding_lsh_neardup)."""
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 16:
+        raise ValueError(f"max_hamming={max_hamming} out of range for a "
+                         "64-bit sketch; use a wider fingerprint")
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1 if k < rem else base for k in range(n_bands)]
+    # both self-join sides consume the sketch subtree (often a UDF);
+    # persist so that pass happens once (tiny rows: id + one long). Same
+    # lazy-cache contract as minhash_lsh_candidates: session-scoped,
+    # caller may unpersist via spark.catalog.clearCache() in long-lived apps.
     s = s.persist()
     bands = []
     off = 0

@@ -31,6 +31,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 TOPK_SCHEMA = "query_id long, neighbor_id long, score double"
 
@@ -209,6 +210,65 @@ def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_sketch_udf(dim: int, n_bits: int = 64, seed: int = 42):
+    """pandas_udf: embedding -> 64-bit random-hyperplane sketch (sign of
+    seeded Gaussian projections — SimHash for cosine space: P[bit differs]
+    = angle/pi, so cosine-close vectors are Hamming-close sketches)."""
+    rs = np.random.RandomState(seed)
+    planes = rs.normal(size=(dim, n_bits))
+    weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+
+    @pandas_udf("long")
+    def sk(vecs: pd.Series) -> pd.Series:
+        m = _as_matrix(list(vecs))
+        bits = (m @ planes) > 0  # (rows, n_bits)
+        vals = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1,
+                                                               dtype=np.uint64)
+        return pd.Series(vals.astype(np.int64))
+
+    # deterministic; flag only blocks optimizer cloning (see dedup.py)
+    return sk.asNondeterministic()
+
+
+def embedding_lsh_neardup(emb: DataFrame,
+                          max_hamming: int = 6, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          seed: int = 42) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the hash-bucketed sibling of
+    the IVF path: random-hyperplane sketches blocked by the generic
+    Hamming banding (dedup.hamming_band_pairs, lossless at the radius),
+    then candidates verified with the EXACT cosine (JVM zip_with dot on
+    re-joined vectors — no Python in the verify). Returns
+    (id_a, id_b, cos_x1000000 long) with cosine >= threshold.
+
+    Sketch radius -> angle: Hamming h on 64 bits ~ angle h*pi/64, so
+    max_hamming=6 covers pairs down to cos(6*pi/64) ~ 0.956 in expectation;
+    radius and threshold should be chosen together.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    from llmap_spark.operators.dedup import hamming_band_pairs
+
+    s = emb.select(F.col(id_col).alias("_id"),
+                   hyperplane_sketch_udf(dim, seed=seed)(F.col(vec_col)).alias("sh"))
+    cand = hamming_band_pairs(s, max_hamming).select("id_a", "id_b")
+    norm = F.sqrt(F.aggregate(
+        F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    unit = emb.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("_uv"))
+    va = unit.select(F.col(id_col).alias("id_a"), F.col("_uv").alias("_va"))
+    vb = unit.select(F.col(id_col).alias("id_b"), F.col("_uv").alias("_vb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b",
+                F.floor(dot * F.lit(1_000_000)).cast("long").alias("cos_x1000000"))
+        .filter(F.col("cos_x1000000") >= int(threshold * 1_000_000))
     )
 
 

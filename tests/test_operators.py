@@ -325,6 +325,33 @@ def test_embedding_neardup_pairs_ivf_path(spark):
     assert found >= 18
 
 
+def test_embedding_lsh_neardup_recall_and_precision(spark):
+    """Random-hyperplane LSH near-dup: planted near-copies found; reported
+    cosine is the EXACT JVM dot (checked against numpy); no pair below the
+    threshold leaks through."""
+    from llmap_spark.operators.similarity import embedding_lsh_neardup
+
+    rs = np.random.RandomState(5)
+    base = rs.normal(size=(150, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(150)]
+    for i in range(20):
+        v = base[i] + 0.02 * rs.normal(size=32)
+        rows.append((1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_lsh_neardup(df, max_hamming=8, threshold=0.95)
+    got = {(r.id_a, r.id_b): r.cos_x1000000 for r in out.collect()}
+    found = sum((i, 1000 + i) in got for i in range(20))
+    assert found >= 18  # >=90% recall on planted pairs
+    # exact-cosine verify: spot-check values against numpy
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    for (a, b), cx in got.items():
+        va, vb = vecs[a], vecs[b]
+        want = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert cx >= 950_000
+        assert abs(cx - int(np.floor(want * 1_000_000))) <= 1
+
+
 # -- binpack ------------------------------------------------------------------
 
 def test_collate_greedy_matches_reference_loop(spark, docs):
