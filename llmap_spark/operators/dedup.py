@@ -266,13 +266,22 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     return hamming_band_pairs(s, max_hamming)
 
 
-def hamming_band_pairs(s: DataFrame, max_hamming: int) -> DataFrame:
-    """Generic lossless Hamming blocking over a 64-bit sketch column:
+def hamming_band_pairs(s: DataFrame, max_hamming: int,
+                       max_bucket: int | None = None) -> DataFrame:
+    """Generic Hamming blocking over a 64-bit sketch column:
     input (_id long, sh long) -> (id_a, id_b, hamming) for all pairs with
     Hamming(sh_a, sh_b) <= max_hamming. Pigeonhole over max_hamming+1
     disjoint bands; verify is JVM bit_count(xor). Shared by the text
     SimHash and the random-hyperplane embedding sketch
-    (similarity.embedding_lsh_neardup)."""
+    (similarity.embedding_lsh_neardup).
+
+    max_bucket=None (default) is LOSSLESS at the radius (the pigeonhole
+    guarantee; pinned by test_simhash_banding_is_lossless). At high radii
+    band keys get narrow (radius 6 -> ~9-bit keys) and bucket sizes scale
+    with corpus size, so the self-join goes quadratic on huge corpora —
+    pass max_bucket to drop over-full buckets (the minhash-LSH skew guard;
+    costs recall only for items whose EVERY band is hot, i.e. items
+    near-dup to very many others)."""
     n_bands = max_hamming + 1
     if not 1 <= n_bands <= 16:
         raise ValueError(f"max_hamming={max_hamming} out of range for a "
@@ -293,6 +302,10 @@ def hamming_band_pairs(s: DataFrame, max_hamming: int) -> DataFrame:
         off += w
     e = s.select("_id", "sh", F.explode(F.array(*bands)).alias("bk")) \
          .select("_id", "sh", "bk.band", "bk.key")
+    if max_bucket is not None:
+        e = (e.withColumn("_bn", F.count("*").over(
+                Window.partitionBy("band", "key")))
+             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a = e.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")
     b = e.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "key")
     return (

@@ -236,7 +236,8 @@ def hyperplane_sketch_udf(dim: int, n_bits: int = 64, seed: int = 42):
 def embedding_lsh_neardup(emb: DataFrame,
                           max_hamming: int = 6, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          seed: int = 42) -> DataFrame:
+                          seed: int = 42,
+                          max_bucket: int | None = 10_000) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs — the hash-bucketed sibling of
     the IVF path: random-hyperplane sketches blocked by the generic
     Hamming banding (dedup.hamming_band_pairs, lossless at the radius),
@@ -246,14 +247,18 @@ def embedding_lsh_neardup(emb: DataFrame,
 
     Sketch radius -> angle: Hamming h on 64 bits ~ angle h*pi/64, so
     max_hamming=6 covers pairs down to cos(6*pi/64) ~ 0.956 in expectation;
-    radius and threshold should be chosen together.
+    radius and threshold should be chosen together. `max_bucket` caps band
+    buckets (default 10k): at radius 6 band keys are only ~9 bits, so on a
+    billion-vector corpus an uncapped bucket join would go quadratic —
+    the cap costs recall only for vectors whose every band is hot.
     """
     dim = len(emb.select(vec_col).first()[0])
     from llmap_spark.operators.dedup import hamming_band_pairs
 
     s = emb.select(F.col(id_col).alias("_id"),
                    hyperplane_sketch_udf(dim, seed=seed)(F.col(vec_col)).alias("sh"))
-    cand = hamming_band_pairs(s, max_hamming).select("id_a", "id_b")
+    cand = hamming_band_pairs(s, max_hamming,
+                              max_bucket=max_bucket).select("id_a", "id_b")
     norm = F.sqrt(F.aggregate(
         F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v))
