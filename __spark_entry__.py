@@ -468,10 +468,13 @@ def _q_multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.functions.multimodal import (sniff_media_type,
                                                   with_media_features)
 
-    pages = _pages(spark, sf_dir)
-    feats = with_media_features(pages, "html", keep_cols=("url",))
-    types = pages.select("url", sniff_media_type(F.col("html")).alias("media_type"))
-    return types.join(feats, "url")
+    # sniff is a JVM expression: compute it BEFORE the Arrow stage and
+    # carry it through the UDF — one source scan, no self-join (the
+    # two-branch join form scanned the pages twice)
+    pages = _pages(spark, sf_dir).withColumn(
+        "media_type", sniff_media_type(F.col("html")))
+    return with_media_features(pages, "html",
+                               keep_cols=("url", "media_type"))
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
