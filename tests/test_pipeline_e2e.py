@@ -98,3 +98,26 @@ def test_input_order_invariance(spark, pages_smoke, oracle_rows):
     got = {r.url: (r.extracted_text, r.status, tuple((s.start, s.end) for s in r.spans))
            for r in ex.select("url", "extracted_text", "status", "spans").collect()}
     _assert_identical(got, oracle_rows)
+
+
+def test_run_curate_cli(spark, tmp_path):
+    """The curation spark-submit main end-to-end: writes the kept list and
+    reports consistent counts (reuses the test session via getOrCreate)."""
+    import json
+
+    from llmap_spark import run_curate
+
+    out = str(tmp_path / "kept")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_curate.main(["--input", "/root/testdata/sf0.001/documents.parquet",
+                              "--output", out, "--cores", "8"])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["input_rows"] == 500
+    assert summary["kept_rows"] == spark.read.parquet(out).count()
+    assert summary["kept_rows"] + summary["dropped_rows"] == 500
+    assert 0 < summary["kept_rows"] < 500
