@@ -29,9 +29,9 @@ MAX_PDF_BYTES = 8_000_000   # raw payload cap (bounded per-item work)
 MAX_STREAM_BYTES = 4_000_000  # per decoded stream (zip-bomb guard)
 
 _BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
-# one token of interest inside a text block: a literal string, a hex string,
-# or a text-show operator
-_TOK_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|Tj|TJ|T\*|'|\"")
+# operators of interest inside a text block (strings are scanned manually —
+# PDF literal strings may contain BALANCED unescaped parens, beyond regex)
+_OP_RE = re.compile(rb"Tj|TJ|T\*|'|\"")
 
 _ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
         b"(": b"(", b")": b")", b"\\": b"\\"}
@@ -81,18 +81,41 @@ def _decode_string(raw: bytes) -> str:
     return raw.decode("latin-1", errors="replace")
 
 
-def _string_token_bytes(tok: bytes) -> bytes | None:
-    if tok.startswith(b"("):
-        return _unescape_literal(tok[1:-1])
-    if tok.startswith(b"<"):
-        h = re.sub(rb"\s", b"", tok[1:-1])
-        if len(h) % 2:
-            h += b"0"  # PDF pads an odd final digit with 0
-        try:
-            return bytes.fromhex(h.decode("ascii"))
-        except ValueError:
-            return None
-    return None
+def _scan_literal(block: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a literal string starting at block[i] == '('. Tracks BALANCED
+    unescaped parens (legal in PDF without escaping) and skips escape
+    pairs. Returns (raw body incl. inner parens, position past ')')."""
+    depth = 1
+    j = i + 1
+    n = len(block)
+    while j < n:
+        c = block[j]
+        if c == 0x5C:  # backslash: skip the escaped char
+            j += 2
+            continue
+        if c == 0x28:  # (
+            depth += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return block[i + 1:j], j + 1
+        j += 1
+    return block[i + 1:n], n  # unterminated: run to end (total)
+
+
+def _scan_hex(block: bytes, i: int) -> tuple[bytes | None, int]:
+    """Parse a hex string starting at block[i] == '<'. Returns decoded
+    bytes (or None if malformed) and the position past '>'."""
+    j = block.find(b">", i + 1)
+    if j < 0:
+        return None, len(block)
+    h = re.sub(rb"[^0-9A-Fa-f]", b"", block[i + 1:j])
+    if len(h) % 2:
+        h += b"0"  # PDF pads an odd final digit with 0
+    try:
+        return bytes.fromhex(h.decode("ascii")), j + 1
+    except ValueError:
+        return None, j + 1
 
 
 def _text_from_content(content: bytes) -> list[str]:
@@ -102,12 +125,24 @@ def _text_from_content(content: bytes) -> list[str]:
     pieces: list[str] = []
     for block in _BT_RE.findall(content):
         pending: list[bytes] = []
-        for m in _TOK_RE.finditer(block):
-            tok = m.group(0)
-            s = _string_token_bytes(tok)
-            if s is not None:
-                pending.append(s)
+        i, n = 0, len(block)
+        while i < n:
+            c = block[i]
+            if c == 0x28:  # ( literal string
+                raw, i = _scan_literal(block, i)
+                pending.append(_unescape_literal(raw))
                 continue
+            if c == 0x3C:  # < hex string (dicts "<<" fail the hex decode)
+                raw, i = _scan_hex(block, i)
+                if raw is not None:
+                    pending.append(raw)
+                continue
+            m = _OP_RE.match(block, i)
+            if m is None:
+                i += 1
+                continue
+            tok = m.group(0)
+            i = m.end()
             if tok in (b"Tj", b"'", b"\""):
                 if pending:
                     pieces.append(_decode_string(pending[-1]))

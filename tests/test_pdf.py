@@ -48,6 +48,22 @@ def test_octal_and_named_escapes():
     assert status == "ok"
 
 
+def test_balanced_unescaped_parens_in_literal():
+    # PDF spec: balanced parens inside a literal string need NO escaping —
+    # a regex tokenizer cuts at the first ')', losing text
+    content = b"BT (outer (inner (deep)) tail) Tj ((lead) rest) Tj ET"
+    raw = b"%PDF-1.4\nstream\n" + content + b"\nendstream"
+    got, status = pdf.extract_pdf_text(raw)
+    assert got == "outer (inner (deep)) tail (lead) rest"
+    assert status == "ok"
+
+
+def test_unterminated_literal_is_total():
+    raw = b"%PDF-1.4\nstream\nBT (never closed \\( here Tj ET\nendstream"
+    text, status = pdf.extract_pdf_text(raw)
+    assert isinstance(text, str)  # no exception, no hang
+
+
 def test_tj_array_kerning_numbers_skipped():
     content = b"BT [(alpha ) -250 (beta) 120 ( gamma)] TJ ET"
     raw = b"%PDF-1.4\nstream\n" + content + b"\nendstream\n%%EOF"
