@@ -87,18 +87,14 @@ def with_media_features(df: DataFrame, binary_col: str,
                         keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Attach fake-decode features to every row, carrying `keep_cols`
     through the Arrow boundary untouched."""
-    cols = list(keep_cols) + [binary_col]
-    carry_ddl = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in keep_cols)
-    out_schema = (carry_ddl + ", " if carry_ddl else "") + MEDIA_FEATURES_SCHEMA
+    from llmap_spark.functions.arrow_carry import map_with_carry
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = next(media_features(iter([pdf]), binary_col))
-            for c in reversed(list(keep_cols)):
-                feats.insert(0, c, pdf[c].reset_index(drop=True))
-            yield feats
+    def batch(series: pd.Series) -> pd.DataFrame:
+        return next(media_features(
+            iter([series.to_frame(name=binary_col)]), binary_col))
 
-    return df.select(*cols).mapInPandas(fn, out_schema)
+    return map_with_carry(df, binary_col, keep_cols,
+                          MEDIA_FEATURES_SCHEMA, batch)
 
 
 PDF_TEXT_SCHEMA = "extracted_text string, status string"
@@ -122,22 +118,15 @@ def with_pdf_text(df: DataFrame, binary_col: str,
     """PDF text layer per row via the shared stdlib kernel
     (llmap_spark.pdf.extract_pdf_text — the same function the in-process
     oracle calls), carrying `keep_cols` through the Arrow boundary."""
+    from llmap_spark.functions.arrow_carry import map_with_carry
     from llmap_spark.pdf import extract_pdf_text
 
-    cols = list(keep_cols) + [binary_col]
-    carry_ddl = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in keep_cols)
-    out_schema = (carry_ddl + ", " if carry_ddl else "") + PDF_TEXT_SCHEMA
+    def batch(series: pd.Series) -> pd.DataFrame:
+        res = [extract_pdf_text(v) for v in series]
+        return pd.DataFrame({"extracted_text": [t for t, _ in res],
+                             "status": [s for _, s in res]})
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_ in batches:
-            res = [extract_pdf_text(v) for v in pdf_[binary_col]]
-            out = pd.DataFrame({"extracted_text": [t for t, _ in res],
-                                "status": [s for _, s in res]})
-            for c in reversed(list(keep_cols)):
-                out.insert(0, c, pdf_[c].reset_index(drop=True))
-            yield out
-
-    return df.select(*cols).mapInPandas(fn, out_schema)
+    return map_with_carry(df, binary_col, keep_cols, PDF_TEXT_SCHEMA, batch)
 
 
 def decode_image(payload: bytes):  # pragma: no cover - documented stub

@@ -125,19 +125,13 @@ def with_media_meta(df, binary_col: str, keep_cols: tuple[str, ...] = ()):
     carrying `keep_cols` through untouched."""
     import pandas as pd
 
-    cols = list(keep_cols) + [binary_col]
-    carry_ddl = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in keep_cols)
-    out_schema = (carry_ddl + ", " if carry_ddl else "") + MEDIA_META_SCHEMA
+    from llmap_spark.functions.arrow_carry import map_with_carry
 
-    def fn(batches):
-        for pdf_ in batches:
-            metas = [parse_media_meta(v) for v in pdf_[binary_col]]
-            out = pd.DataFrame(metas, columns=list(MediaMeta._fields))
-            for c in reversed(list(keep_cols)):
-                out.insert(0, c, pdf_[c].reset_index(drop=True))
-            yield out
+    def batch(series: pd.Series) -> pd.DataFrame:
+        metas = [parse_media_meta(v) for v in series]
+        return pd.DataFrame(metas, columns=list(MediaMeta._fields))
 
-    return df.select(*cols).mapInPandas(fn, out_schema)
+    return map_with_carry(df, binary_col, keep_cols, MEDIA_META_SCHEMA, batch)
 
 
 # ---------------------------------------------------------------------------

@@ -244,7 +244,8 @@ def simhash_udf(seed: int = 42):
 
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                       text_col: str = "text", max_hamming: int = 3,
+                       materialize: bool = False) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Blocking: the 64 bits are split into `max_hamming + 1` disjoint bands —
@@ -263,11 +264,12 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     # sh=0 marks word-less docs (see simhash_udf) — they are not duplicates
     # of each other, just empty; exclude them from blocking
     s = s.filter(F.col("sh") != 0)
-    return hamming_band_pairs(s, max_hamming)
+    return hamming_band_pairs(s, max_hamming, materialize=materialize)
 
 
 def hamming_band_pairs(s: DataFrame, max_hamming: int,
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = None,
+                       materialize: bool = False) -> DataFrame:
     """Generic Hamming blocking over a 64-bit sketch column:
     input (_id long, sh long) -> (id_a, id_b, hamming) for all pairs with
     Hamming(sh_a, sh_b) <= max_hamming. Pigeonhole over max_hamming+1
@@ -281,7 +283,12 @@ def hamming_band_pairs(s: DataFrame, max_hamming: int,
     with corpus size, so the self-join goes quadratic on huge corpora —
     pass max_bucket to drop over-full buckets (the minhash-LSH skew guard;
     costs recall only for items whose EVERY band is hot, i.e. items
-    near-dup to very many others)."""
+    near-dup to very many others).
+
+    Same laziness contract as minhash_lsh_candidates: the sketch frame is
+    persisted (both self-join sides consume it); materialize=True eagerly
+    localCheckpoints the pair set and releases that cache — otherwise the
+    cache lives for the session (each call pins one tiny id+long frame)."""
     n_bands = max_hamming + 1
     if not 1 <= n_bands <= 16:
         raise ValueError(f"max_hamming={max_hamming} out of range for a "
@@ -308,12 +315,16 @@ def hamming_band_pairs(s: DataFrame, max_hamming: int,
              .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a = e.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")
     b = e.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "key")
-    return (
+    out = (
         a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        s.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -223,7 +223,13 @@ def hyperplane_sketch_udf(dim: int, n_bits: int = 64, seed: int = 42):
 
     @pandas_udf("long")
     def sk(vecs: pd.Series) -> pd.Series:
-        m = _as_matrix(list(vecs))
+        # NULL/ragged guard (never-raise rule): missing or wrong-length
+        # embeddings sketch to 0 — the caller filters sh == 0 out of
+        # blocking, since null/zero vectors are not near-dups of anything
+        rows = [np.asarray(v, dtype=np.float64)
+                if v is not None and len(v) == dim else np.zeros(dim)
+                for v in vecs]
+        m = np.asarray(rows)
         bits = (m @ planes) > 0  # (rows, n_bits)
         vals = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1,
                                                                dtype=np.uint64)
@@ -252,27 +258,44 @@ def embedding_lsh_neardup(emb: DataFrame,
     billion-vector corpus an uncapped bucket join would go quadratic —
     the cap costs recall only for vectors whose every band is hot.
     """
-    dim = len(emb.select(vec_col).first()[0])
     from llmap_spark.operators.dedup import hamming_band_pairs
 
+    first = emb.select(vec_col).first()
+    if first is None or first[0] is None:
+        # empty corpus / null leading embedding: empty result, same schema
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos_x1000000 long")
+    dim = len(first[0])
     s = emb.select(F.col(id_col).alias("_id"),
                    hyperplane_sketch_udf(dim, seed=seed)(F.col(vec_col)).alias("sh"))
+    # sh=0 marks null/zero vectors (see hyperplane_sketch_udf) — exclude
+    # from blocking, mirroring simhash_candidates' word-less-doc rule
+    s = s.filter(F.col("sh") != 0)
     cand = hamming_band_pairs(s, max_hamming,
                               max_bucket=max_bucket).select("id_a", "id_b")
+    # norm as its OWN column: embedding the aggregate inside a per-element
+    # transform lambda re-evaluates it for every element (O(d^2) per row —
+    # higher-order functions are interpreted); here each norm and the dot
+    # are each one O(d) pass, and cos = dot / (norm_a * norm_b)
     norm = F.sqrt(F.aggregate(
         F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v))
-    unit = emb.select(
-        F.col(id_col),
-        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("_uv"))
-    va = unit.select(F.col(id_col).alias("id_a"), F.col("_uv").alias("_va"))
-    vb = unit.select(F.col(id_col).alias("id_b"), F.col("_uv").alias("_vb"))
-    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
+    withn = emb.select(F.col(id_col), F.col(vec_col).alias("_v"),
+                       norm.alias("_n"))
+    va = withn.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+                      F.col("_n").alias("_na"))
+    vb = withn.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+                      F.col("_n").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    cos = F.when(F.col("_na") * F.col("_nb") > 0,
+                 dot / (F.col("_na") * F.col("_nb")))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b",
-                F.floor(dot * F.lit(1_000_000)).cast("long").alias("cos_x1000000"))
+                F.floor(cos * F.lit(1_000_000)).cast("long").alias("cos_x1000000"))
         .filter(F.col("cos_x1000000") >= int(threshold * 1_000_000))
     )
 

@@ -103,6 +103,33 @@ def _scan_literal(block: bytes, i: int) -> tuple[bytes, int]:
     return block[i + 1:n], n  # unterminated: run to end (total)
 
 
+def _skip_dict(block: bytes, i: int) -> int:
+    """Skip an inline dictionary starting at block[i:i+2] == '<<' (BDC/DP
+    marked-content operands — ubiquitous in tagged PDFs). Tracks << >>
+    nesting and skips literal strings inside (their bytes could contain
+    '>>'). Returns the position past the matching '>>'; dict operands are
+    NOT text shows — treating them as hex strings injected garbage bytes
+    into the extracted text."""
+    depth = 0
+    j = i
+    n = len(block)
+    while j < n:
+        two = block[j:j + 2]
+        if two == b"<<":
+            depth += 1
+            j += 2
+        elif two == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return j
+        elif block[j] == 0x28:  # ( literal string inside the dict
+            _, j = _scan_literal(block, j)
+        else:
+            j += 1
+    return n  # unterminated: run to end (total)
+
+
 def _scan_hex(block: bytes, i: int) -> tuple[bytes | None, int]:
     """Parse a hex string starting at block[i] == '<'. Returns decoded
     bytes (or None if malformed) and the position past '>'."""
@@ -132,8 +159,11 @@ def _text_from_content(content: bytes) -> list[str]:
                 raw, i = _scan_literal(block, i)
                 pending.append(_unescape_literal(raw))
                 continue
-            if c == 0x3C:  # < hex string (dicts "<<" fail the hex decode)
-                raw, i = _scan_hex(block, i)
+            if c == 0x3C:
+                if block[i + 1:i + 2] == b"<":  # << inline dict: skip whole
+                    i = _skip_dict(block, i)
+                    continue
+                raw, i = _scan_hex(block, i)  # < hex string
                 if raw is not None:
                     pending.append(raw)
                 continue

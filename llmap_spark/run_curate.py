@@ -2,7 +2,7 @@
 (plans/training.py: quality gate -> exact dedup -> MinHash LSH -> verify
 -> connected components -> keep list).
 
-    spark-submit --py-files engine.zip -m  # or:
+    spark-submit --py-files engine.zip llmap_spark/run_curate.py ...  # or:
     python -m llmap_spark.run_curate \
         --input  /path/to/documents_parquet \
         --output /path/to/kept_parquet \

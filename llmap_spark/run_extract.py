@@ -1,7 +1,7 @@
 """Thin spark-submit main around the library API (SURVEY §3.2 shape:
 `extract(df, cfg) -> (extracted, lineage)` as a library, CLI on top).
 
-    spark-submit --py-files engine.zip -m  # or:
+    spark-submit --py-files engine.zip llmap_spark/run_extract.py ...  # or:
     python -m llmap_spark.run_extract \
         --input  /path/to/pages_parquet \
         --output /path/to/output_root \

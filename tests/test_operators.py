@@ -352,6 +352,25 @@ def test_embedding_lsh_neardup_recall_and_precision(spark):
         assert abs(cx - int(np.floor(want * 1_000_000))) <= 1
 
 
+def test_embedding_lsh_neardup_total_on_degenerate_input(spark):
+    """Never-raise rule: empty corpus, NULL embeddings, and ragged rows
+    all flow through without exceptions and never appear in pairs."""
+    from llmap_spark.operators.similarity import embedding_lsh_neardup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_lsh_neardup(empty).count() == 0
+
+    rs = np.random.RandomState(9)
+    v = rs.normal(size=16)
+    rows = [(1, [float(x) for x in v]), (2, [float(x) for x in v]),
+            (3, None), (4, [0.0] * 16), (5, [1.0, 2.0])]  # null/zero/ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in
+             embedding_lsh_neardup(df, max_hamming=4, threshold=0.99).collect()}
+    assert (1, 2) in pairs
+    assert all(a not in (3, 4, 5) and b not in (3, 4, 5) for a, b in pairs)
+
+
 # -- binpack ------------------------------------------------------------------
 
 def test_collate_greedy_matches_reference_loop(spark, docs):

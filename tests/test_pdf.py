@@ -58,6 +58,22 @@ def test_balanced_unescaped_parens_in_literal():
     assert status == "ok"
 
 
+def test_marked_content_dicts_are_skipped():
+    # tagged-PDF output (Word/Acrobat) wraps text in BDC/EMC with inline
+    # dict operands; the dict is NOT a hex string and its contents
+    # (including /ActualText literals) must not leak into the text
+    content = (b"BT /P << /MCID 0 /ActualText (hidden) >> BDC "
+               b"[(Hello ) -20 (world)] TJ EMC ET")
+    raw = b"%PDF-1.4\nstream\n" + content + b"\nendstream"
+    got, status = pdf.extract_pdf_text(raw)
+    assert got == "Hello world"
+    assert status == "ok"
+    # nested dicts too
+    content2 = b"BT << /A << /B 1 >> /S (x >> y) >> BDC (real text) Tj ET"
+    raw2 = b"%PDF-1.4\nstream\n" + content2 + b"\nendstream"
+    assert pdf.extract_pdf_text(raw2)[0] == "real text"
+
+
 def test_unterminated_literal_is_total():
     raw = b"%PDF-1.4\nstream\nBT (never closed \\( here Tj ET\nendstream"
     text, status = pdf.extract_pdf_text(raw)
