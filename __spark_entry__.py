@@ -211,6 +211,41 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: rolling-hash boundary cuts -> chunk table
+    (id, idx, md5, n_chars). Sub-document dedup granularity; boundaries
+    survive edits (shift-resistance pinned in pytest)."""
+    from llmap_spark.operators.fingerprints import cdc_chunk_table
+
+    return cdc_chunk_table(_docs(spark, sf_dir))
+
+
+def _q_link_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction verified end-to-end: html is synthesized JVM-side
+    with hrefs planted as doc_id arithmetic, the JVM regexp extractor pulls
+    them back, and the oracle recomputes the planted values — the same
+    planted-roundtrip construction as multimodal_image_meta."""
+    from llmap_spark.operators.links import extract_hrefs
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    html = F.expr(
+        "concat_ws('', transform(sequence(1, cast(doc_id % 4 + 1 as int)), "
+        "i -> concat('<a href=\"https://h', cast(doc_id % 50 as string), "
+        "'.example/p', cast(i as string), '\">x</a>')))")
+    return (
+        d.select("doc_id", F.posexplode(extract_hrefs(html))
+                 .alias("link_idx", "href"))
+    )
+
+
+def _q_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph over the pages corpus (scan -> explode ->
+    groupBy, zero Python)."""
+    from llmap_spark.operators.links import link_host_edges
+
+    return link_host_edges(_pages(spark, sf_dir))
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed rolling-hash document fingerprints (MOSS scheme; local —
     detects PARTIAL overlap, unlike md5/MinHash whole-doc schemes)."""
@@ -564,6 +599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "doc_fingerprints": _q_doc_fingerprints,
         "winnow_overlap": _q_winnow_overlap,
+        "cdc_chunks": _q_cdc_chunks,
+        # link graph
+        "link_extract_roundtrip": _q_link_extract_roundtrip,
+        "link_hosts": _q_link_hosts,
         # reference operator analogues
         "collate_binpack": _q_collate_binpack,
         "collate_binpack_bucketed": _q_collate_binpack_bucketed,
@@ -645,6 +684,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_pdf_roundtrip": f"""
             SELECT doc_id, {NORM_SQL} AS extracted_text FROM documents
+        """,
+        "link_extract_roundtrip": """
+            SELECT doc_id, CAST(i - 1 AS int) AS link_idx,
+                   'https://h' || CAST(doc_id % 50 AS varchar)
+                     || '.example/p' || CAST(i AS varchar) AS href
+            FROM documents,
+                 LATERAL unnest(generate_series(1, doc_id % 4 + 1)) AS t(i)
         """,
         "multimodal_image_meta": """
             SELECT doc_id,

@@ -97,6 +97,97 @@ def doc_fingerprints(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def cdc_boundaries(hashes: np.ndarray, k: int, n_chars: int,
+                   mask_bits: int = 6, min_len: int = 64,
+                   max_len: int = 1024) -> list[int]:
+    """Content-defined chunk cut points over the normalized char stream:
+    cut after position i+k when the k-gram rolling hash at i has its low
+    `mask_bits` bits zero (expected chunk ~2^mask_bits chars), subject to
+    min/max length clamps (the standard CDC guards: min_len suppresses
+    pathological tiny chunks, max_len forces a cut in boundary deserts).
+    Returns ascending cut offsets, always ending at n_chars.
+
+    The point of CDC over fixed windows: an insertion near the start of a
+    document shifts FIXED chunk boundaries everywhere, but content-defined
+    cuts re-align after ~one chunk — so sub-document dedup on chunk hashes
+    survives edits (pinned by a shift-resistance test)."""
+    mask = (1 << mask_bits) - 1
+    cuts: list[int] = []
+    last = 0
+    candidates = np.nonzero((hashes & np.uint64(mask)) == 0)[0]
+    for i in candidates:
+        pos = int(i) + k
+        if pos - last < min_len:
+            continue
+        while pos - last > max_len:  # boundary desert before this cut
+            last += max_len
+            cuts.append(last)
+        if pos - last >= min_len:
+            cuts.append(pos)
+            last = pos
+    while n_chars - last > max_len:
+        last += max_len
+        cuts.append(last)
+    if not cuts or cuts[-1] != n_chars:
+        cuts.append(n_chars)
+    return cuts
+
+
+def cdc_chunks_udf(k: int = 16, mask_bits: int = 6, min_len: int = 64,
+                   max_len: int = 1024):
+    """pandas_udf: text -> array<string> content-defined chunks of the
+    NORMALIZED text (concatenation invariant: ''.join(chunks) == the
+    normalized text). Texts shorter than one k-gram yield one chunk."""
+
+    @pandas_udf("array<string>")
+    def chunks(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            norm = " ".join((t or "").split()).lower()
+            if not norm:
+                out.append([])
+                continue
+            # hash positions are BYTE offsets (the rolling hash runs over
+            # the UTF-8 byte stream), so slice the byte string too — char
+            # slicing would desync on multibyte text (the İ bug class) —
+            # and snap each cut off UTF-8 continuation bytes so no chunk
+            # splits a character
+            b = norm.encode("utf-8")
+            h = _rolling_hashes(t or "", k)
+            if h.size == 0:
+                out.append([norm])
+                continue
+            cuts = cdc_boundaries(h, k, len(b), mask_bits, min_len, max_len)
+            snapped: list[int] = []
+            for cut in cuts:
+                while cut < len(b) and (b[cut] & 0xC0) == 0x80:
+                    cut += 1
+                if not snapped or cut > snapped[-1]:
+                    snapped.append(cut)
+            if snapped[-1] != len(b):
+                snapped.append(len(b))
+            out.append([b[a:e].decode("utf-8")
+                        for a, e in zip([0] + snapped[:-1], snapped)])
+        return pd.Series(out)
+
+    return chunks.asNondeterministic()  # blocks optimizer cloning only
+
+
+def cdc_chunk_table(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 16, mask_bits: int = 6,
+                    min_len: int = 64, max_len: int = 1024) -> DataFrame:
+    """One row per chunk: (id, chunk_idx, chunk_md5, n_chars). Feeding
+    chunk_md5 into exact_dedup gives SUB-document dedup — shared
+    boilerplate paragraphs dedup away even when documents differ."""
+    c = df.select(
+        F.col(id_col),
+        F.posexplode(cdc_chunks_udf(k, mask_bits, min_len, max_len)(
+            F.col(text_col))).alias("chunk_idx", "_chunk"))
+    return c.select(id_col, "chunk_idx",
+                    F.md5(F.encode(F.col("_chunk"), "UTF-8")).alias("chunk_md5"),
+                    F.length("_chunk").cast("int").alias("n_chars"))
+
+
 def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 16,
                          window: int = 8, min_shared: int = 2,

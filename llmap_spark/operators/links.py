@@ -1,0 +1,60 @@
+"""Link extraction and host-graph operators — pure JVM expressions.
+
+Web-scale pipelines need the link graph (PageRank-style signals, spam
+domain filtering, crawl frontier building) as much as the text. Extraction
+here is a codegen regexp over the decoded html (`regexp_extract_all`), not
+a Python pass: at 100 TB the difference between a JVM regex and an Arrow
+round-trip is the whole job cost. The deliberately simple double-quoted
+`href="..."` pattern is engine-portable (Java regex == RE2 == DuckDB), so
+the driver verifies extraction with a planted-value SQL oracle; the full
+tolerant parse (unquoted/single-quoted attrs) belongs to the block kernel
+if ever needed for correctness-critical use.
+
+Graph building is scan -> explode -> groupBy: one shuffle keyed by host
+pair, no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HREF_PATTERN = r'href="([^"]+)"'
+
+
+def decoded_html(col: Column) -> Column:
+    """binary html -> string for JVM regex work. UTF-8 with U+FFFD
+    replacement (same policy as the kernel's default path) — NOT
+    decode(col,'UTF-8'), which THROWS on malformed bytes in Spark 4 and
+    would kill the job on the first latin-1 page; cast(binary as string)
+    is the lenient codegen path."""
+    return col.cast("string")
+
+
+def extract_hrefs(html_str: Column) -> Column:
+    """All double-quoted href values, in document order (JVM codegen)."""
+    return F.regexp_extract_all(html_str, F.lit(HREF_PATTERN), F.lit(1))
+
+
+def host_of(url: Column) -> Column:
+    """Host part of an absolute http(s) url; '' for relative links."""
+    return F.regexp_extract(url, r"^https?://([^/]+)", 1)
+
+
+def link_host_edges(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """Host-level link graph: (src_host, dst_host, n_links). Relative
+    links resolve to the source host; anchors/javascript/empty are
+    dropped. One explode + one groupBy shuffle, zero Python."""
+    src = host_of(F.col(url_col)).alias("src_host")
+    links = pages.select(
+        src, F.explode(extract_hrefs(decoded_html(F.col(html_col)))).alias("_l"))
+    dst = F.when(host_of(F.col("_l")) != "", host_of(F.col("_l"))) \
+        .otherwise(F.col("src_host"))
+    return (
+        links.filter(~F.col("_l").startswith("#")
+                     & ~F.col("_l").startswith("javascript:")
+                     & (F.col("_l") != ""))
+        .select("src_host", dst.alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )

@@ -118,3 +118,78 @@ def test_density_bound(spark, docs):
     for row in r:
         n_grams = max(1, row.n - K + 1)
         assert row.nfp <= 0.5 * n_grams
+
+
+# -- content-defined chunking -------------------------------------------------
+
+def _norm_lower(t):
+    return " ".join(t.split()).lower()
+
+
+def test_cdc_concat_invariant_and_bounds(spark, docs):
+    from llmap_spark.operators import fingerprints as fpm2
+
+    rows = docs.limit(12).collect()
+    extra = [(9001, "unicode çök İİ " * 40), (9002, "short"), (9003, "")]
+    df = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in rows] + extra, "doc_id long, text string")
+    got = {r.doc_id: r.chunks for r in df.select(
+        "doc_id", fpm2.cdc_chunks_udf(min_len=64, max_len=512)(
+            F.col("text")).alias("chunks")).collect()}
+    texts = {r.doc_id: r.text for r in rows} | {i: t for i, t in extra}
+    for d, t in texts.items():
+        want = _norm_lower(t)
+        chunks = got[d]
+        assert "".join(chunks) == want, d
+        if want:
+            assert all(len(c.encode("utf-8")) <= 512 + 3 for c in chunks), d
+            body = chunks[:-1]
+            if len(want.encode()) >= 64:
+                assert all(len(c.encode("utf-8")) >= 64 for c in body), d
+        else:
+            assert chunks == []
+
+
+def test_cdc_shift_resistance(spark, docs):
+    """THE content-defined property: a prefix insertion must not shift
+    every downstream boundary — most chunk hashes survive the edit
+    (fixed-size windows would lose all of them)."""
+    import hashlib
+
+    from llmap_spark.operators import fingerprints as fpm2
+
+    import random
+
+    # corpus docs are ~300 chars (1-2 chunks) — synthesize long seeded
+    # texts so there are many boundaries to re-align
+    base = []
+    for s in range(3):
+        rng = random.Random(100 + s)
+        base.append(" ".join(
+            f"w{rng.randrange(10_000)}" for _ in range(1200)))
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, "freshly inserted leading words " + t))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.chunks for r in df.select(
+        "doc_id", fpm2.cdc_chunks_udf(min_len=64, max_len=512)(
+            F.col("text")).alias("chunks")).collect()}
+    for i in range(len(base)):
+        a = {hashlib.md5(c.encode()).hexdigest() for c in got[2 * i]}
+        b = {hashlib.md5(c.encode()).hexdigest() for c in got[2 * i + 1]}
+        assert len(a & b) / len(a) >= 0.5, i  # boundaries re-align
+
+
+def test_cdc_chunk_table_subdoc_dedup(spark):
+    from llmap_spark.operators.fingerprints import cdc_chunk_table
+
+    shared = " ".join(f"common word{j} payload" for j in range(120))
+    rows = [(1, "alpha opening text " * 10 + shared),
+            (2, "totally different start here " * 10 + shared)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = cdc_chunk_table(df, min_len=64, max_len=512)
+    by_doc = {}
+    for r in t.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.chunk_md5)
+    assert by_doc[1] & by_doc[2]  # the lifted span dedups at chunk level

@@ -432,6 +432,43 @@ def test_decode_image_is_marked_stub():
         decode_image(b"\xff\xd8\xff")
 
 
+# -- links ----------------------------------------------------------------------
+
+def test_link_host_edges_planted(spark):
+    from llmap_spark.operators.links import link_host_edges
+
+    rows = [
+        ("https://a.example/p1",
+         b'<a href="https://b.example/x">b</a><a href="/rel">r</a>'
+         b'<a href="#frag">f</a><a href="javascript:void(0)">j</a>'
+         b'<a href="https://b.example/y">b2</a>'),
+        ("https://a.example/p2", b'<a href="https://c.example/z">c</a>'),
+        ("https://b.example/p1", b'<a href="https://a.example/h">a</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {(r.src_host, r.dst_host): r.n_links
+           for r in link_host_edges(df).collect()}
+    assert got == {
+        ("a.example", "b.example"): 2,   # two absolute links to b
+        ("a.example", "a.example"): 1,   # relative resolves to source host
+        ("a.example", "c.example"): 1,
+        ("b.example", "a.example"): 1,
+    }
+
+
+def test_link_graph_on_corpus_is_nonempty(spark):
+    from llmap_spark.corpus import pages_path_for
+    from llmap_spark.operators.links import link_host_edges
+
+    pages = spark.read.parquet(pages_path_for("/root/testdata/sf0.001"))
+    edges = link_host_edges(pages)
+    rows = edges.collect()
+    assert rows
+    # corpus links are all relative -> every edge is a self-loop
+    assert all(r.src_host == r.dst_host for r in rows)
+    assert sum(r.n_links for r in rows) > 0
+
+
 # -- sessions -----------------------------------------------------------------
 
 def test_sessionize_vs_python(spark):
