@@ -423,8 +423,11 @@ def _q_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the IVF path."""
     from llmap_spark.operators.similarity import embedding_lsh_neardup
 
+    # radius and threshold must agree (operator docstring): Hamming 6 on
+    # 64 bits corresponds to cos(6*pi/64) ~ 0.956 — a 0.9 threshold at
+    # this radius would silently miss ~83% of pairs in [0.90, 0.95]
     return embedding_lsh_neardup(_emb(spark, sf_dir), max_hamming=6,
-                                 threshold=0.9)
+                                 threshold=0.95)
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

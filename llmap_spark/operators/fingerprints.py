@@ -28,17 +28,23 @@ from pyspark.sql.functions import pandas_udf
 from llmap_spark.operators.dedup import _FNV, _mix64
 
 
-def _rolling_hashes(text: str, k: int) -> np.ndarray:
-    """POSITIONAL 64-bit k-gram hashes over the normalized char stream
-    (same hash family as dedup._shingle_hashes, but order-preserving and
-    undeduplicated — winnowing needs positions)."""
-    t = " ".join(text.split()).lower()
-    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+def _rolling_hashes_bytes(raw: bytes, k: int) -> np.ndarray:
+    """POSITIONAL 64-bit k-gram hashes over a byte stream (same hash
+    family as dedup._shingle_hashes, but order-preserving and
+    undeduplicated — winnowing and CDC need positions). Hash index i
+    covers raw[i:i+k], so positions are BYTE offsets into `raw`."""
+    b = np.frombuffer(raw, dtype=np.uint8)
     if b.size < k:
         return np.empty(0, dtype=np.uint64)
     win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
     pw = _FNV ** np.arange(k, dtype=np.uint64)  # wraparound mod 2^64 is fine
     return _mix64((win * pw[None, :]).sum(axis=1, dtype=np.uint64))
+
+
+def _rolling_hashes(text: str, k: int) -> np.ndarray:
+    """Normalize (squeeze + lower) then hash; see _rolling_hashes_bytes."""
+    t = " ".join(text.split()).lower()
+    return _rolling_hashes_bytes(t.encode("utf-8"), k)
 
 
 def winnow(hashes: np.ndarray, window: int) -> np.ndarray:
@@ -147,13 +153,13 @@ def cdc_chunks_udf(k: int = 16, mask_bits: int = 6, min_len: int = 64,
             if not norm:
                 out.append([])
                 continue
-            # hash positions are BYTE offsets (the rolling hash runs over
-            # the UTF-8 byte stream), so slice the byte string too — char
-            # slicing would desync on multibyte text (the İ bug class) —
-            # and snap each cut off UTF-8 continuation bytes so no chunk
-            # splits a character
+            # hash positions are BYTE offsets, so hash and slice the SAME
+            # byte string (char slicing would desync on multibyte text —
+            # the İ bug class), and snap each cut off UTF-8 continuation
+            # bytes so no chunk splits a character (snapping can shave a
+            # body chunk up to 3 bytes below min_len on multibyte text)
             b = norm.encode("utf-8")
-            h = _rolling_hashes(t or "", k)
+            h = _rolling_hashes_bytes(b, k)
             if h.size == 0:
                 out.append([norm])
                 continue

@@ -42,18 +42,26 @@ def host_of(url: Column) -> Column:
 
 def link_host_edges(pages: DataFrame, url_col: str = "url",
                     html_col: str = "html") -> DataFrame:
-    """Host-level link graph: (src_host, dst_host, n_links). Relative
-    links resolve to the source host; anchors/javascript/empty are
-    dropped. One explode + one groupBy shuffle, zero Python."""
+    """Host-level link graph: (src_host, dst_host, n_links).
+
+    Resolution rules: absolute http(s) -> its host; protocol-relative
+    (//host/...) -> that host; path-relative -> the source host. Dropped:
+    empty, fragments (#), and every non-http scheme (javascript:, mailto:,
+    tel:, data:, ftp:, ...) — counting those as self-edges would inflate
+    self-loop counts for PageRank/spam-signal consumers. One explode + one
+    groupBy shuffle, zero Python."""
     src = host_of(F.col(url_col)).alias("src_host")
     links = pages.select(
         src, F.explode(extract_hrefs(decoded_html(F.col(html_col)))).alias("_l"))
-    dst = F.when(host_of(F.col("_l")) != "", host_of(F.col("_l"))) \
-        .otherwise(F.col("src_host"))
+    l = F.col("_l")
+    non_http_scheme = (l.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+                       & ~l.rlike(r"^https?://"))
+    pr_host = F.regexp_extract(l, r"^//([^/]+)", 1)
+    dst = (F.when(host_of(l) != "", host_of(l))
+           .when(pr_host != "", pr_host)
+           .otherwise(F.col("src_host")))
     return (
-        links.filter(~F.col("_l").startswith("#")
-                     & ~F.col("_l").startswith("javascript:")
-                     & (F.col("_l") != ""))
+        links.filter((l != "") & ~l.startswith("#") & ~non_http_scheme)
         .select("src_host", dst.alias("dst_host"))
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("n_links"))

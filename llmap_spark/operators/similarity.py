@@ -243,7 +243,8 @@ def embedding_lsh_neardup(emb: DataFrame,
                           max_hamming: int = 6, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           seed: int = 42,
-                          max_bucket: int | None = 10_000) -> DataFrame:
+                          max_bucket: int | None = 10_000,
+                          materialize: bool = False) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs — the hash-bucketed sibling of
     the IVF path: random-hyperplane sketches blocked by the generic
     Hamming banding (dedup.hamming_band_pairs, lossless at the radius),
@@ -260,19 +261,25 @@ def embedding_lsh_neardup(emb: DataFrame,
     """
     from llmap_spark.operators.dedup import hamming_band_pairs
 
-    first = emb.select(vec_col).first()
-    if first is None or first[0] is None:
-        # empty corpus / null leading embedding: empty result, same schema
+    # probe the MODAL dimension (deterministic cheap aggregate over the
+    # size column only) — a bare first() depends on nondeterministic row
+    # order: a null or ragged leading row would silently empty or corrupt
+    # the whole result
+    probe = (emb.select(F.size(vec_col).alias("_d"))
+             .filter(F.col("_d") > 0)
+             .groupBy("_d").count()
+             .orderBy(F.desc("count"), F.asc("_d")).first())
+    if probe is None:
         return emb.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cos_x1000000 long")
-    dim = len(first[0])
+    dim = probe[0]
     s = emb.select(F.col(id_col).alias("_id"),
                    hyperplane_sketch_udf(dim, seed=seed)(F.col(vec_col)).alias("sh"))
     # sh=0 marks null/zero vectors (see hyperplane_sketch_udf) — exclude
     # from blocking, mirroring simhash_candidates' word-less-doc rule
     s = s.filter(F.col("sh") != 0)
-    cand = hamming_band_pairs(s, max_hamming,
-                              max_bucket=max_bucket).select("id_a", "id_b")
+    cand = hamming_band_pairs(s, max_hamming, max_bucket=max_bucket,
+                              materialize=materialize).select("id_a", "id_b")
     # norm as its OWN column: embedding the aggregate inside a per-element
     # transform lambda re-evaluates it for every element (O(d^2) per row —
     # higher-order functions are interpreted); here each norm and the dot

@@ -132,17 +132,21 @@ def _skip_dict(block: bytes, i: int) -> int:
 
 def _scan_hex(block: bytes, i: int) -> tuple[bytes | None, int]:
     """Parse a hex string starting at block[i] == '<'. Returns decoded
-    bytes (or None if malformed) and the position past '>'."""
+    bytes (or None if the span is not a well-formed hex string) and the
+    position past '>'. Strict: a '<...>' run containing non-hex,
+    non-whitespace bytes is NOT a hex string (name objects, malformed
+    markup) — stripping the junk and decoding what remains would inject
+    garbage into the extracted text."""
     j = block.find(b">", i + 1)
     if j < 0:
         return None, len(block)
-    h = re.sub(rb"[^0-9A-Fa-f]", b"", block[i + 1:j])
+    body = block[i + 1:j]
+    if re.fullmatch(rb"[0-9A-Fa-f\s]*", body) is None:
+        return None, j + 1
+    h = re.sub(rb"\s", b"", body)
     if len(h) % 2:
         h += b"0"  # PDF pads an odd final digit with 0
-    try:
-        return bytes.fromhex(h.decode("ascii")), j + 1
-    except ValueError:
-        return None, j + 1
+    return bytes.fromhex(h.decode("ascii")), j + 1
 
 
 def _text_from_content(content: bytes) -> list[str]:

@@ -145,7 +145,9 @@ def test_cdc_concat_invariant_and_bounds(spark, docs):
             assert all(len(c.encode("utf-8")) <= 512 + 3 for c in chunks), d
             body = chunks[:-1]
             if len(want.encode()) >= 64:
-                assert all(len(c.encode("utf-8")) >= 64 for c in body), d
+                # UTF-8 boundary snapping may shave up to 3 bytes off a
+                # body chunk on multibyte text (documented in the UDF)
+                assert all(len(c.encode("utf-8")) >= 64 - 3 for c in body), d
         else:
             assert chunks == []
 

@@ -441,6 +441,8 @@ def test_link_host_edges_planted(spark):
         ("https://a.example/p1",
          b'<a href="https://b.example/x">b</a><a href="/rel">r</a>'
          b'<a href="#frag">f</a><a href="javascript:void(0)">j</a>'
+         b'<a href="mailto:x@y.com">m</a><a href="tel:+123">t</a>'
+         b'<a href="//d.example/pr">pr</a>'
          b'<a href="https://b.example/y">b2</a>'),
         ("https://a.example/p2", b'<a href="https://c.example/z">c</a>'),
         ("https://b.example/p1", b'<a href="https://a.example/h">a</a>'),
@@ -450,9 +452,11 @@ def test_link_host_edges_planted(spark):
            for r in link_host_edges(df).collect()}
     assert got == {
         ("a.example", "b.example"): 2,   # two absolute links to b
-        ("a.example", "a.example"): 1,   # relative resolves to source host
+        ("a.example", "a.example"): 1,   # path-relative -> source host
+        ("a.example", "d.example"): 1,   # protocol-relative -> its host
         ("a.example", "c.example"): 1,
         ("b.example", "a.example"): 1,
+        # mailto/tel/javascript/#fragment contribute nothing
     }
 
 

@@ -58,6 +58,14 @@ def test_balanced_unescaped_parens_in_literal():
     assert status == "ok"
 
 
+def test_malformed_hex_runs_are_not_text():
+    # '<zz41>' is not a hex string (name/markup junk) — stripping non-hex
+    # and decoding the rest would inject 'A' into the output
+    raw = b"%PDF-1.4\nstream\nBT <zz41> Tj (real) Tj ET\nendstream"
+    got, _ = pdf.extract_pdf_text(raw)
+    assert got == "real"
+
+
 def test_marked_content_dicts_are_skipped():
     # tagged-PDF output (Word/Acrobat) wraps text in BDC/EMC with inline
     # dict operands; the dict is NOT a hex string and its contents
