@@ -28,10 +28,30 @@ import zlib
 MAX_PDF_BYTES = 8_000_000   # raw payload cap (bounded per-item work)
 MAX_STREAM_BYTES = 4_000_000  # per decoded stream (zip-bomb guard)
 
-_BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # operators of interest inside a text block (strings are scanned manually —
 # PDF literal strings may contain BALANCED unescaped parens, beyond regex)
 _OP_RE = re.compile(rb"Tj|TJ|T\*|'|\"")
+
+
+def _text_blocks(content: bytes) -> list[bytes]:
+    """BT..ET spans via linear find() scanning. NOT a regex: `BT(.*?)ET`
+    backtracks from every unmatched BT, which is O(n^2) on adversarial
+    streams full of 'BT' with no 'ET' — a DoS at the 4 MB stream cap.
+    An unterminated final BT runs to end-of-stream (total)."""
+    out = []
+    pos = 0
+    n = len(content)
+    while pos < n:
+        s = content.find(b"BT", pos)
+        if s < 0:
+            break
+        e = content.find(b"ET", s + 2)
+        if e < 0:
+            out.append(content[s + 2:])
+            break
+        out.append(content[s + 2:e])
+        pos = e + 2
+    return out
 
 _ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
         b"(": b"(", b")": b")", b"\\": b"\\"}
@@ -154,7 +174,7 @@ def _text_from_content(content: bytes) -> list[str]:
     Tj shows the pending string; TJ shows every string in the preceding
     array (numbers are kerning, skipped); ' and " are move-and-show."""
     pieces: list[str] = []
-    for block in _BT_RE.findall(content):
+    for block in _text_blocks(content):
         pending: list[bytes] = []
         i, n = 0, len(block)
         while i < n:

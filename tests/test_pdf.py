@@ -135,6 +135,26 @@ def test_zip_bomb_bounded():
     assert status in ("empty", "ok")
 
 
+def test_adversarial_bt_flood_is_linear():
+    """A stream of 300k 'BT ' markers with no ET must parse in linear time
+    (the regex formulation backtracked from every unmatched BT: O(n^2),
+    minutes at the stream cap)."""
+    import time
+
+    flood = b"BT " * 300_000
+    raw = b"%PDF-1.4\nstream\n" + flood + b"\nendstream"
+    t0 = time.time()
+    text, status = pdf.extract_pdf_text(raw)
+    assert time.time() - t0 < 5.0
+    assert isinstance(text, str)
+
+
+def test_unterminated_bt_block_runs_to_end():
+    raw = b"%PDF-1.4\nstream\nBT (tail words) Tj\nendstream"  # no ET
+    got, status = pdf.extract_pdf_text(raw)
+    assert got == "tail words"  # total: unterminated block still extracts
+
+
 @settings(max_examples=150, deadline=None)
 @given(st.binary(max_size=4096))
 def test_total_on_arbitrary_bytes(data):
