@@ -78,3 +78,35 @@ def test_stateful_running_counts(spark, tmp_path):
             spark.read.parquet(EVENTS).groupBy("user_id")
             .agg(F.count("*").alias("n")).collect()}
     assert got == want
+
+
+def test_dedup_pages_stream_keeps_one_per_fingerprint(spark, pages_smoke, tmp_path):
+    from pyspark.sql import functions as F
+
+    from llmap_spark.streaming.dedup import dedup_pages_stream
+
+    # recrawl simulation: the same pages arrive twice (second copy is a
+    # later fetch of identical content)
+    src = _as_dir(pages_smoke, tmp_path / "pages_dedup")
+    recrawl = (spark.read.parquet(pages_smoke)
+               .withColumn("url", F.concat(F.col("url"), F.lit("?refetch")))
+               .withColumn("warc_ts",
+                           F.col("warc_ts") + F.expr("INTERVAL 1 MINUTE")))
+    recrawl.write.mode("append").parquet(src)
+
+    q = dedup_pages_stream(spark, src, query_name="dd_test")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dd_test").collect()
+    finally:
+        q.stop()
+    batch = spark.read.parquet(src).withColumn("fp", F.md5(F.col("html")))
+    n_distinct = batch.select("fp").distinct().count()
+    n_pages = batch.count()
+    assert n_pages > n_distinct  # the corpus DOES contain recrawl dups
+    # exactly one survivor per distinct content fingerprint
+    assert len(rows) == n_distinct
+    assert len({r.fingerprint for r in rows}) == n_distinct
+    # every survivor's fingerprint is a real corpus fingerprint
+    corpus_fps = {r.fp for r in batch.select("fp").distinct().collect()}
+    assert {r.fingerprint for r in rows} == corpus_fps
