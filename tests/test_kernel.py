@@ -189,6 +189,56 @@ def test_unquoted_attr_trailing_slash_is_not_self_closing():
     assert all(b.n_link_chars == 0 for b in blocks2)
 
 
+_WORDS = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=3, max_size=8)
+_PARA = st.lists(_WORDS, min_size=12, max_size=30)
+
+
+@settings(max_examples=120, deadline=None)
+@given(paras=st.lists(_PARA, min_size=2, max_size=6),
+       seed=st.integers(0, 10_000))
+def test_ground_truth_fuzz(paras, seed):
+    """Generative ground-truth check: build a random page whose visible
+    main text is KNOWN BY CONSTRUCTION (long link-free paragraphs always
+    pass the keep rules), wrapped in adversarial chrome — script blocks
+    containing fake markup, comments, entities, inline tags, unquoted and
+    slash-bearing attributes — and require byte-exact extraction."""
+    rng = random.Random(seed)
+    body_parts = []
+    expected = []
+    for words in paras:
+        text = " ".join(words)
+        expected.append(text)
+        inner = text
+        if rng.random() < 0.5:  # inline markup must not split/merge words
+            i = rng.randrange(len(words))
+            inner = " ".join(
+                w if j != i else f"<b>{w}</b>" for j, w in enumerate(words))
+        if rng.random() < 0.3:
+            inner = inner.replace(" ", " <!-- c --> ", 1)
+        attr = rng.choice(
+            ['', ' class="x y"', " id=plain", ' data-u="/a/b/"', " href=/x/"])
+        tag = rng.choice(["p", "div", "li", "td"])
+        body_parts.append(f"<{tag}{attr}>{inner}</{tag}>")
+        if rng.random() < 0.4:
+            body_parts.append("<script>var fake = '<p>not text</p>';</script>")
+        if rng.random() < 0.3:
+            body_parts.append('<nav><a href="/l">boiler link</a></nav>')
+    chrome_head = ("<!DOCTYPE html><html><head><title>t</title>"
+                   "<style>p{color:red}</style></head><body>")
+    html = chrome_head + "".join(body_parts) + "</body></html>"
+    r = kernel.extract_page(html.encode("utf-8"))
+    assert r.status == "ok"
+    assert r.extracted_text == "\n\n".join(expected)
+
+
+def test_entity_ground_truth():
+    html = (b"<html><body><p>alpha &amp; beta &lt;tag&gt; gamma &#65; delta"
+            b" epsilon zeta eta theta iota kappa</p></body></html>")
+    r = kernel.extract_page(html)
+    assert r.extracted_text == ("alpha & beta <tag> gamma A delta epsilon"
+                                " zeta eta theta iota kappa")
+
+
 def test_golden_corpus_hash(tmp_path):
     """Regression anchor: the kernel's exact output over the smoke corpus,
     pinned as one hash. If extraction semantics change intentionally, bump
