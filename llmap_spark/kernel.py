@@ -41,7 +41,7 @@ import html as _htmlmod
 import re
 from typing import NamedTuple
 
-KERNEL_VERSION = "2.1.0"
+KERNEL_VERSION = "2.2.0"
 
 # --- bounded per-item work (reference parse.py:20-26 analogue) ------------
 MAX_HTML_BYTES = 1_000_000  # raw html byte cap per page
@@ -258,6 +258,12 @@ _ASCII_LOWER = str.maketrans(
 # quoted value or whitespace. A '/' right after an unquoted attribute value
 # (e.g. <a href=/x/>) is part of the value per HTML5, not self-closing.
 _PRE_SLASH_OK = frozenset(" \t\n\r\f\"'")
+# Elements where the self-closing slash is HONORED: void elements (no-op
+# either way) and foreign-content roots (SVG/MathML follow XML rules). On
+# every other element HTML5 IGNORES the slash — '<script src=x/>' OPENS a
+# script whose body must stay invisible; treating it as self-closed leaked
+# the JS into extracted text.
+_FOREIGN_TAGS = frozenset({"svg", "math"})
 
 
 def _scan(doc: str, sink: _BlockSink) -> None:
@@ -315,9 +321,11 @@ def _scan(doc: str, sink: _BlockSink) -> None:
         self_closing = doc[end_pos - 2:end_pos - 1] == "/" and (
             end_pos - 2 == m.end()  # '/' directly after the tag name: <br/>
             or doc[end_pos - 3] in _PRE_SLASH_OK)
-        if self_closing:
+        if self_closing and (tag in _VOID_TAGS or tag in _FOREIGN_TAGS):
             sink.startend(tag)
         else:
+            # non-void self-closing: HTML5 ignores the slash — the element
+            # OPENS (counters tolerate it never closing)
             sink.start(tag)
             if tag in _RAWTEXT_TAGS:
                 close = low.find("</" + tag, end_pos)
@@ -389,12 +397,25 @@ def classify(blocks: list[Block]) -> list[bool]:
 def stitch(blocks: list[Block], keep: list[bool]) -> tuple[str, list[tuple[int, int]]]:
     """Stage-3: join kept blocks in document order with a blank line; emit
     char spans. Document order is what makes stitching byte-deterministic
-    (reference analogue: IR sort by start byte, parse.py:66)."""
+    (reference analogue: IR sort by start byte, parse.py:66).
+
+    When the text cap truncates, the spans list is truncated CONSISTENTLY:
+    only blocks whose text fully fits are listed, so spans never reference
+    dropped content (consumers align text against spans)."""
     kept = [b for b, k in zip(blocks, keep) if k]
     text = "\n\n".join(b.text for b in kept)
-    if len(text) > MAX_TEXT_BYTES:
-        text = text[:MAX_TEXT_BYTES]
-    return text, [(b.start, b.end) for b in kept]
+    if len(text) <= MAX_TEXT_BYTES:
+        return text, [(b.start, b.end) for b in kept]
+    text = text[:MAX_TEXT_BYTES]
+    spans: list[tuple[int, int]] = []
+    acc = 0
+    for b in kept:
+        end = acc + len(b.text)
+        if end > MAX_TEXT_BYTES:
+            break
+        spans.append((b.start, b.end))
+        acc = end + 2  # the "\n\n" separator
+    return text, spans
 
 
 def page_status(html: bytes | None, dec: DecodeResult, body_seen: bool,

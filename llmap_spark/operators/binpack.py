@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame, Window, functions as F
 def collate_approx(df: DataFrame, order_col: str, size_col: str,
                    budget: int, partition_col: str | None = None,
                    out_col: str = "group_id") -> DataFrame:
+    """NB: `order_col` must be UNIQUE within each partition_col group —
+    with ties the window order (and hence group ids) is nondeterministic
+    run-to-run, breaking the determinism-by-sorting contract. Same
+    requirement for collate_greedy's per-group sort."""
     w = (Window.partitionBy(partition_col) if partition_col else
          Window.partitionBy(F.lit(1)))
     w = w.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)

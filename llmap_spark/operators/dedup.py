@@ -44,8 +44,14 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     fingerprint); AQE handles residual skew."""
     out = fingerprint(df, text_col)
     w = Window.partitionBy("fingerprint")
+    # NULL text -> NULL fingerprint = UNKNOWN content, never a duplicate:
+    # without the guard the window groups every null-text row into one
+    # partition and flags all but one as dups of each other (the same
+    # shared-sentinel hazard the MinHash/winnow operators NULL out)
+    rep = F.when(F.col("fingerprint").isNotNull(),
+                 F.min(id_col).over(w)).otherwise(F.col(id_col))
     return (
-        out.withColumn("rep_id", F.min(id_col).over(w))
+        out.withColumn("rep_id", rep)
         .withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
     )
 

@@ -36,8 +36,11 @@ def extract_hrefs(html_str: Column) -> Column:
 
 
 def host_of(url: Column) -> Column:
-    """Host part of an absolute http(s) url; '' for relative links."""
-    return F.regexp_extract(url, r"^https?://([^/]+)", 1)
+    """Host part of an absolute http(s) url; '' for relative links.
+    Scheme matching is case-insensitive (RFC 3986; 'HTTP://HOST' is valid
+    and common on legacy pages) and the host is lowercased (DNS names are
+    case-insensitive) so edges canonicalize."""
+    return F.lower(F.regexp_extract(url, r"(?i)^https?://([^/]+)", 1))
 
 
 def link_host_edges(pages: DataFrame, url_col: str = "url",
@@ -55,8 +58,8 @@ def link_host_edges(pages: DataFrame, url_col: str = "url",
         src, F.explode(extract_hrefs(decoded_html(F.col(html_col)))).alias("_l"))
     l = F.col("_l")
     non_http_scheme = (l.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
-                       & ~l.rlike(r"^https?://"))
-    pr_host = F.regexp_extract(l, r"^//([^/]+)", 1)
+                       & ~l.rlike(r"(?i)^https?://"))
+    pr_host = F.lower(F.regexp_extract(l, r"^//([^/]+)", 1))
     dst = (F.when(host_of(l) != "", host_of(l))
            .when(pr_host != "", pr_host)
            .otherwise(F.col("src_host")))

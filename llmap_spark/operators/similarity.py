@@ -37,8 +37,28 @@ TOPK_SCHEMA = "query_id long, neighbor_id long, score double"
 
 
 def _as_matrix(rows: list, dim: int | None = None) -> np.ndarray:
-    m = np.asarray([np.asarray(r, dtype=np.float64) for r in rows])
-    return m
+    """Rows -> dense float64 matrix, TOTAL: a NULL or wrong-length
+    embedding becomes a zero row instead of a ragged-array ValueError that
+    would kill the whole Spark job (never-raise rule). Zero rows have zero
+    cosine against everything, so they never rank as neighbors."""
+    arrs: list[np.ndarray | None] = []
+    for r in rows:
+        if r is None:
+            arrs.append(None)
+            continue
+        a = np.asarray(r, dtype=np.float64)
+        if a.ndim != 1:
+            a = a.reshape(-1)
+        arrs.append(a)
+        if dim is None and a.size > 0:
+            dim = a.size
+    if dim is None:
+        dim = 0
+    out = np.zeros((len(arrs), dim), dtype=np.float64)
+    for i, a in enumerate(arrs):
+        if a is not None and a.size == dim:
+            out[i] = a
+    return out
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

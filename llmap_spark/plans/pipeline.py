@@ -132,7 +132,8 @@ def extract(pages: DataFrame, cfg: ExtractConfig = ExtractConfig()) -> DataFrame
             schema=U.REFINE_SCHEMA + ", salt_bucket int")
 
     ex = ex.withColumn("partition_id", F.spark_partition_id()) \
-           .withColumn("bytes_out", F.length("extracted_text").cast("long"))
+           .withColumn("bytes_out",
+                       F.octet_length("extracted_text").cast("long"))
     cols = OUTPUT_COLUMNS + (OPS_COLUMNS if cfg.keep_ops_columns else [])
     return ex.select(*cols)
 

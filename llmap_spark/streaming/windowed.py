@@ -61,10 +61,9 @@ def extract_stream(spark: SparkSession, pages_path: str, out_path: str,
     The kernel is a stateless per-row map, so watermarks/state are not
     needed; checkpointing gives exactly-once file-sink semantics — the
     streaming analogue of the snapshot/anti-join resume used in batch."""
-    from llmap_spark.corpus import PAGES_SCHEMA  # arrow schema, mirror DDL
-    ddl = ("url string, warc_ts timestamp, html binary, "
-           "text string, lang string")
-    pages = spark.readStream.schema(ddl).format("parquet").load(pages_path)
+    from llmap_spark.streaming.dedup import PAGES_DDL  # single DDL source
+
+    pages = spark.readStream.schema(PAGES_DDL).format("parquet").load(pages_path)
     ex = extract(pages, cfg)
     return (ex.writeStream.format("parquet").outputMode("append")
             .option("path", out_path).option("checkpointLocation", checkpoint)

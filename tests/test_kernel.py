@@ -239,6 +239,45 @@ def test_entity_ground_truth():
                                 " zeta eta theta iota kappa")
 
 
+def test_self_closing_nonvoid_opens_per_html5():
+    # HTML5 ignores the '/' on non-void elements: <script src=x/> OPENS a
+    # script, so its body must never surface as text (the self-closed
+    # interpretation leaked raw JS into extracted_text)
+    html = (b'<html><body><script src="x.js"/>function f(){return 42;}'
+            b"</script><p>the visible article body with plenty of words to"
+            b" clear the keep threshold</p></body></html>")
+    r = kernel.extract_page(html)
+    assert r.status == "ok"
+    assert "function" not in r.extracted_text
+    assert "visible article body" in r.extracted_text
+    # nav/ self-closing likewise opens: its links stay boilerplate
+    html2 = (b'<html><body><nav/><a href="/x">boiler boiler boiler boiler'
+             b" boiler boiler boiler boiler boiler</a></body></html>")
+    assert kernel.extract_page(html2).extracted_text == ""
+    # but SVG (foreign content, XML rules) honors self-closing: an empty
+    # <svg/> must NOT swallow the rest of the document
+    html3 = (b"<html><body><svg/><p>text after the svg element with plenty"
+             b" of running words to be kept today</p></body></html>")
+    assert "text after the svg" in kernel.extract_page(html3).extracted_text
+
+
+def test_truncated_stitch_spans_consistent():
+    # kept text over the cap: spans must reference only blocks whose text
+    # fully fits in the truncated output
+    para = "word " * 30  # ~150 chars, kept
+    n = kernel.MAX_TEXT_BYTES // len(para) + 10
+    html = ("<html><body>" + f"<p>{para}</p>" * n + "</body></html>").encode()
+    r = kernel.extract_page(html)
+    assert len(r.extracted_text) == kernel.MAX_TEXT_BYTES
+    # reconstruct from spans: total stitched length of spanned blocks fits
+    dec = kernel.decode_html(html)
+    blocks, _, _ = kernel.parse_blocks(dec.text)
+    by_span = {(b.start, b.end): b for b in blocks}
+    total = sum(len(by_span[s].text) for s in r.spans) + 2 * (len(r.spans) - 1)
+    assert total <= kernel.MAX_TEXT_BYTES
+    assert len(r.spans) < r.n_blocks_kept  # some kept blocks were cut
+
+
 def test_golden_corpus_hash(tmp_path):
     """Regression anchor: the kernel's exact output over the smoke corpus,
     pinned as one hash. If extraction semantics change intentionally, bump

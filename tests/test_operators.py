@@ -352,6 +352,34 @@ def test_embedding_lsh_neardup_recall_and_precision(spark):
         assert abs(cx - int(np.floor(want * 1_000_000))) <= 1
 
 
+def test_topk_total_on_null_and_ragged_embeddings(spark):
+    """One NULL/ragged embedding must not kill the job (never-raise rule);
+    null rows simply never rank as neighbors."""
+    from llmap_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rs = np.random.RandomState(13)
+    rows = [(i, [float(x) for x in rs.normal(size=8)]) for i in range(30)]
+    rows += [(100, None), (101, [1.0])]  # null + ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bf = brute_force_topk(spark, df, df, k=3).collect()
+    assert bf  # ran to completion
+    ivf = ivf_topk(spark, df, df, k=3, n_centroids=4, nprobe=2).collect()
+    assert ivf
+
+
+def test_exact_dedup_null_text_never_dup(spark):
+    from llmap_spark.operators.dedup import exact_dedup
+
+    rows = [(1, "same real content here"), (2, "same real content here"),
+            (3, None), (4, None), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.rep_id, r.is_dup) for r in exact_dedup(df).collect()}
+    assert got[1] == (1, False) and got[2] == (1, True)
+    # null-text docs are UNKNOWN content, each its own representative
+    for d in (3, 4, 5):
+        assert got[d] == (d, False)
+
+
 def test_embedding_lsh_neardup_total_on_degenerate_input(spark):
     """Never-raise rule: empty corpus, NULL embeddings, and ragged rows
     all flow through without exceptions and never appear in pairs."""
@@ -443,6 +471,7 @@ def test_link_host_edges_planted(spark):
          b'<a href="#frag">f</a><a href="javascript:void(0)">j</a>'
          b'<a href="mailto:x@y.com">m</a><a href="tel:+123">t</a>'
          b'<a href="//d.example/pr">pr</a>'
+         b'<a href="HTTP://B.Example/up">upper</a>'
          b'<a href="https://b.example/y">b2</a>'),
         ("https://a.example/p2", b'<a href="https://c.example/z">c</a>'),
         ("https://b.example/p1", b'<a href="https://a.example/h">a</a>'),
@@ -451,7 +480,8 @@ def test_link_host_edges_planted(spark):
     got = {(r.src_host, r.dst_host): r.n_links
            for r in link_host_edges(df).collect()}
     assert got == {
-        ("a.example", "b.example"): 2,   # two absolute links to b
+        ("a.example", "b.example"): 3,   # two https + one HTTP:// (RFC 3986
+                                         # schemes/hosts are case-insensitive)
         ("a.example", "a.example"): 1,   # path-relative -> source host
         ("a.example", "d.example"): 1,   # protocol-relative -> its host
         ("a.example", "c.example"): 1,
