@@ -502,6 +502,22 @@ def _q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_media_meta(payloads, "payload", keep_cols=("doc_id",))
 
 
+def _q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing, driver-verified: payloads of planted size
+    (pure doc_id arithmetic, built JVM-side) fan out 1->4 frame rows whose
+    offsets/lengths the oracle recomputes. The frame 'decode' is a declared
+    fake (payload slices); the Spark shape is the real contract."""
+    from llmap_spark.functions.multimodal import with_frame_samples
+
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("cast(repeat('x', cast(100 + doc_id % 400 as int)) as binary)")
+        .alias("payload"))
+    return with_frame_samples(payloads, "payload", keep_cols=("doc_id",),
+                              n_frames=4).select(
+        "doc_id", "frame_idx", "frame_offset", "frame_len")
+
+
 def _q_multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.functions.multimodal import (sniff_media_type,
                                                   with_media_features)
@@ -631,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "extract_pdf_roundtrip": _q_extract_pdf_roundtrip,
         "multimodal_image_meta": _q_multimodal_image_meta,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
         "multimodal_media_meta": _q_multimodal_media_meta,
     }
 
@@ -694,6 +711,13 @@ def oracle_sql() -> dict[str, str]:
                      || '.example/p' || CAST(i AS varchar) AS href
             FROM documents,
                  LATERAL unnest(generate_series(1, doc_id % 4 + 1)) AS t(i)
+        """,
+        "multimodal_frame_sample": """
+            SELECT doc_id, CAST(fi AS int) AS frame_idx,
+              CAST(fi * ((100 + doc_id % 400) // 4) AS bigint) AS frame_offset,
+              CAST((100 + doc_id % 400) // 4 AS int) AS frame_len
+            FROM documents,
+                 LATERAL unnest(generate_series(0, 3)) AS t(fi)
         """,
         "multimodal_image_meta": """
             SELECT doc_id,

@@ -129,6 +129,60 @@ def with_pdf_text(df: DataFrame, binary_col: str,
     return map_with_carry(df, binary_col, keep_cols, PDF_TEXT_SCHEMA, batch)
 
 
+FRAME_SAMPLE_SCHEMA = ("frame_idx int, frame_offset long, frame_len int, "
+                       "frame_crc32 long")
+
+
+def with_frame_samples(df: DataFrame, binary_col: str,
+                       keep_cols: tuple[str, ...] = (),
+                       n_frames: int = 4) -> DataFrame:
+    """Frame sampling PLUMBING for video payloads: 1 payload row -> up to
+    `n_frames` frame rows via mapInPandas (the Spark shape — schema,
+    1:N fan-out, batch iteration, carried keys — is exactly what a real
+    ffmpeg-backed sampler uses). The decode itself is a DECLARED FAKE (no
+    codec libs in this container): 'frames' are evenly spaced payload
+    slices identified by (offset, length, crc32), deterministic so tests
+    pin the fan-out. Swap the slicing for real frame extraction on a
+    cluster with codecs; the plan shape does not change."""
+    import zlib as _zlib
+
+    cols = list(keep_cols) + [binary_col]
+    dtypes = dict(df.dtypes)
+    carry_ddl = ", ".join(f"{c} {dtypes[c]}" for c in keep_cols)
+    out_schema = (carry_ddl + ", " if carry_ddl else "") + FRAME_SAMPLE_SCHEMA
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = {c: [] for c in list(keep_cols) + [
+                "frame_idx", "frame_offset", "frame_len", "frame_crc32"]}
+            for _, r in pdf_.iterrows():
+                v = r[binary_col]
+                if v is None or len(v) == 0:
+                    continue
+                step = max(1, len(v) // n_frames)
+                for fi in range(min(n_frames, len(v))):
+                    off = fi * step
+                    chunk = v[off:off + step]
+                    for c in keep_cols:
+                        rows[c].append(r[c])
+                    rows["frame_idx"].append(fi)
+                    rows["frame_offset"].append(off)
+                    rows["frame_len"].append(len(chunk))
+                    rows["frame_crc32"].append(_zlib.crc32(chunk))
+            yield pd.DataFrame(rows)
+
+    return df.select(*cols).mapInPandas(fn, out_schema)
+
+
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover
+    """Seam for real image resizing (PIL/torchvision). Declared stub: the
+    container ships no codecs; the Spark-side plumbing (binary in/out
+    column transforms, batch shapes) is what this repo tests."""
+    raise NotImplementedError(
+        "image resize requires a codec library not present in this "
+        "environment; wire PIL here on a real cluster")
+
+
 def decode_image(payload: bytes):  # pragma: no cover - documented stub
     """Seam for a real image decoder (PIL.Image.open etc.). The container
     ships no codec libraries, so this is a marked stub; the Spark plumbing

@@ -453,6 +453,30 @@ def test_media_sniff_and_features(spark):
     assert out == out2
 
 
+def test_frame_sample_fanout(spark):
+    import zlib
+
+    from llmap_spark.functions.multimodal import with_frame_samples
+
+    payload = bytes(range(200))
+    rows = [(1, payload), (2, None), (3, b""), (4, b"xy")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = with_frame_samples(df, "payload", keep_cols=("id",), n_frames=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.id, []).append(
+            (r.frame_idx, r.frame_offset, r.frame_len, r.frame_crc32))
+    assert len(got[1]) == 4  # 1 payload -> 4 frame rows
+    for fi, off, ln, crc in got[1]:
+        assert off == fi * 50 and ln == 50
+        assert crc == zlib.crc32(payload[off:off + 50])
+    assert 2 not in got and 3 not in got  # null/empty payloads emit nothing
+    assert len(got[4]) == 2  # tiny payload: bounded by its length
+    # determinism
+    again = with_frame_samples(df, "payload", keep_cols=("id",), n_frames=4)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
 def test_decode_image_is_marked_stub():
     from llmap_spark.functions.multimodal import decode_image
 
