@@ -401,6 +401,38 @@ def _q_embedding_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_neardup_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle twin of embedding near-dup: cosine >= 0.95 expressed in
+    PURE INTEGER arithmetic over floor(x*100) quantized vectors —
+    400*dot^2 >= 361*|a|^2*|b|^2 with dot > 0 (0.95^2 = 361/400) — so both
+    engines hash identically. O(n^2) by design as a correctness fixture
+    (like embedding_topk_int); the production paths are ivf/LSH."""
+    q = _emb(spark, sf_dir).select(
+        F.col("vec_id"),
+        F.expr("transform(embedding, x -> cast(floor(cast(x as double) * 100)"
+               " as bigint))").alias("qv"))
+    a, b = q.alias("a"), q.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda u, v: u * v),
+                           F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    pairs = (
+        a.crossJoin(b).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                dot(F.col("a.qv"), F.col("b.qv")).alias("dot"),
+                dot(F.col("a.qv"), F.col("a.qv")).alias("na2"),
+                dot(F.col("b.qv"), F.col("b.qv")).alias("nb2"))
+    )
+    return (
+        pairs.filter((F.col("dot") > 0)
+                     & (400 * F.col("dot") * F.col("dot")
+                        >= 361 * F.col("na2") * F.col("nb2")))
+        .select("id_a", "id_b", "dot", "na2", "nb2")
+    )
+
+
 def _q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.similarity import brute_force_topk
 
@@ -640,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_passthrough": _q_union_passthrough,
         # similarity search
         "embedding_topk_int": _q_embedding_topk_int,
+        "embedding_neardup_int": _q_embedding_neardup_int,
         "ann_brute_force": _q_ann_brute_force,
         "ann_ivf": _q_ann_ivf,
         "embedding_neardup": _q_embedding_neardup,
@@ -910,6 +943,19 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY dot DESC, neighbor_id ASC) AS rnk
               FROM p) WHERE rnk <= 3
+        """,
+        "embedding_neardup_int": """
+            WITH q AS (SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS double) * 100) AS bigint)) AS v
+              FROM embeddings),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    CAST(list_dot_product(a.v, b.v) AS bigint) AS dot,
+                    CAST(list_dot_product(a.v, a.v) AS bigint) AS na2,
+                    CAST(list_dot_product(b.v, b.v) AS bigint) AS nb2
+                  FROM q a, q b WHERE a.vec_id < b.vec_id)
+            SELECT id_a, id_b, dot, na2, nb2 FROM p
+            WHERE dot > 0 AND 400 * dot * dot >= 361 * na2 * nb2
         """,
         "sessionize": """
             SELECT event_id, user_id,
