@@ -99,11 +99,20 @@ def main() -> int:
     extract(pages.limit(2000), ExtractConfig(repartition=8)) \
         .write.format("noop").mode("overwrite").save()
 
+    # best-of-N reps per job: this box is a shared VM with steal time
+    # observed up to 20% (pure-JVM jobs vary 5x run-to-run); the minimum
+    # is the least-interfered measurement (same methodology as
+    # bench/scaling.py). Override with LLMAP_BENCH_REPS=1 for a quick pass.
+    reps = int(os.environ.get("LLMAP_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name, fn in jobs:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
 
     # throughput from the real-write flagship run
     ex_sec = timings["extract_write"]
