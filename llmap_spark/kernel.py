@@ -122,13 +122,24 @@ def _normalize(raw: str) -> str:
 
 
 def decode_html(html: bytes | None, cap: int = MAX_HTML_BYTES) -> DecodeResult:
-    """Bytes -> str, total. Cap bytes, sniff meta charset in the first 2 KiB,
-    decode with errors='replace'. Fixed policy, documented in SURVEY §7.1."""
+    """Bytes -> str, total. Cap bytes, sniff BOM then meta charset in the
+    first 2 KiB, decode with errors='replace'. Fixed policy, documented in
+    SURVEY §7.1. BOM wins over meta (the HTML5 encoding-sniff order):
+    UTF-16 pages would otherwise decode as NUL-riddled mojibake."""
     if not html:
         return DecodeResult("", False, False)
     truncated = len(html) > cap
     if truncated:
         html = html[:cap]
+    if html[:2] in (b"\xff\xfe", b"\xfe\xff") and html[:3] != b"\xef\xbb\xbf":
+        codec = "utf-16"  # consumes the BOM, picks LE/BE from it
+        try:
+            text = html.decode(codec, errors="replace")
+        except Exception:
+            text = html.decode("utf-8", errors="replace")
+        return DecodeResult(text, truncated, "�" in text)
+    if html[:3] == b"\xef\xbb\xbf":
+        html = html[3:]  # UTF-8 BOM: strip, else it prepends U+FEFF
     codec = "utf-8"
     m = _CHARSET_RE.search(html[:2048])
     if m:

@@ -105,6 +105,20 @@ def test_entities_and_charset():
     assert "caf\xe9 & cr\xe8me br\xfbl\xe9e" in r.extracted_text
 
 
+def test_bom_sniffing():
+    body = ("<html><body><p>byte order marked page with plenty of words to"
+            " clear the keep threshold easily now</p></body></html>")
+    for enc, bom in (("utf-16-le", b"\xff\xfe"), ("utf-16-be", b"\xfe\xff")):
+        payload = bom + body.encode(enc)
+        r = kernel.extract_page(payload)
+        assert r.status == "ok", enc
+        assert "byte order marked page" in r.extracted_text, enc
+    # UTF-8 BOM: stripped, no U+FEFF leading the text
+    r8 = kernel.extract_page(b"\xef\xbb\xbf" + body.encode("utf-8"))
+    assert r8.status == "ok"
+    assert r8.extracted_text.startswith("byte order marked")
+
+
 def test_bounded_work_caps():
     huge = b"<html><body><p>" + b"a" * (kernel.MAX_HTML_BYTES + 100) + b"</p></body></html>"
     r = kernel.extract_page(huge)
