@@ -188,13 +188,20 @@ class _BlockSink:
         if not self._pieces:
             return
         raw = "".join(p for p, _ in self._pieces)
-        text = _normalize(raw)
+        # one split serves normalization AND the token count (identical to
+        # _normalize + text.split(): " ".join(words).split() == words)
+        words = raw.split()
+        text = " ".join(words)
         if text:
             n_chars = len(text)
-            link_chars = sum(len(_normalize(p)) for p, in_link in self._pieces if in_link)
-            if link_chars > n_chars:
-                link_chars = n_chars
-            n_tokens = len(text.split())
+            if any(in_link for _, in_link in self._pieces):
+                link_chars = sum(len(_normalize(p))
+                                 for p, in_link in self._pieces if in_link)
+                if link_chars > n_chars:
+                    link_chars = n_chars
+            else:
+                link_chars = 0  # common case: no anchors in the block
+            n_tokens = len(words)
             in_boiler = self._boiler > 0
             # stage-1 coarse candidate gate (integer arithmetic only):
             # enough chars, not link-dominated, not inside a boiler container.
