@@ -191,7 +191,9 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(_docs(spark, sf_dir))
+    # materialize=True: the driver runs many queries in one session; the
+    # lazy default would leave the signature cache pinned for all of them
+    return minhash_lsh_candidates(_docs(spark, sf_dir), materialize=True)
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,14 +202,16 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # radius 4 exercises the derived banding (5 disjoint bands; the fixed
     # 4-band split was only lossless up to Hamming 3) while keeping band
     # keys wide enough that bucket collisions stay sub-quadratic
-    return simhash_candidates(_docs(spark, sf_dir), max_hamming=4)
+    return simhash_candidates(_docs(spark, sf_dir), max_hamming=4,
+                              materialize=True)
 
 
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.dedup import (connected_components,
                                              simhash_candidates)
 
-    pairs = simhash_candidates(_docs(spark, sf_dir), max_hamming=4)
+    pairs = simhash_candidates(_docs(spark, sf_dir), max_hamming=4,
+                               materialize=True)
     return connected_components(pairs)
 
 
@@ -459,7 +463,7 @@ def _q_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64 bits corresponds to cos(6*pi/64) ~ 0.956 — a 0.9 threshold at
     # this radius would silently miss ~83% of pairs in [0.90, 0.95]
     return embedding_lsh_neardup(_emb(spark, sf_dir), max_hamming=6,
-                                 threshold=0.95)
+                                 threshold=0.95, materialize=True)
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
