@@ -131,7 +131,7 @@ def decode_html(html: bytes | None, cap: int = MAX_HTML_BYTES) -> DecodeResult:
     truncated = len(html) > cap
     if truncated:
         html = html[:cap]
-    if html[:2] in (b"\xff\xfe", b"\xfe\xff") and html[:3] != b"\xef\xbb\xbf":
+    if html[:2] in (b"\xff\xfe", b"\xfe\xff"):
         codec = "utf-16"  # consumes the BOM, picks LE/BE from it
         try:
             text = html.decode(codec, errors="replace")
@@ -333,9 +333,16 @@ def _scan(doc: str, sink: _BlockSink) -> None:
             continue
         tag = m.group(0)
         tail = _TAG_TAIL_RE.match(doc, m.end())
-        if tail is None:  # unclosed tag at EOF -> stop
-            break
-        end_pos = tail.end()
+        if tail is not None:
+            end_pos = tail.end()
+        else:
+            # quote-aware match failed: a stray quote in an unquoted
+            # attribute value (title=don't — legal per HTML5) or an
+            # unclosed quote. Degrade to the naive next-'>' close instead
+            # of dropping the rest of the document (previously a silent
+            # whole-page loss with status 'ok').
+            gt = doc.find(">", m.end())
+            end_pos = n if gt < 0 else gt + 1
         self_closing = doc[end_pos - 2:end_pos - 1] == "/" and (
             end_pos - 2 == m.end()  # '/' directly after the tag name: <br/>
             or doc[end_pos - 3] in _PRE_SLASH_OK)
@@ -346,7 +353,20 @@ def _scan(doc: str, sink: _BlockSink) -> None:
             # OPENS (counters tolerate it never closing)
             sink.start(tag)
             if tag in _RAWTEXT_TAGS:
-                close = low.find("</" + tag, end_pos)
+                # close tag must be followed by whitespace, '/', '>' or
+                # EOF (HTML5): '</scriptable>' must NOT close <script> —
+                # matching the bare prefix leaked script source as text
+                search = end_pos
+                close = -1
+                target = "</" + tag
+                while True:
+                    close = low.find(target, search)
+                    if close < 0:
+                        break
+                    after = low[close + len(target):close + len(target) + 1]
+                    if after in ("", ">", "/", " ", "\t", "\n", "\r", "\f"):
+                        break
+                    search = close + 1
                 if close < 0:
                     sink.end(tag)  # unterminated raw text: skip to EOF
                     break

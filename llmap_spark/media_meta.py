@@ -66,6 +66,9 @@ def _jpeg(b: bytes) -> MediaMeta:
         if b[i] != 0xFF:
             break
         marker = b[i + 1]
+        if marker == 0xFF:  # fill byte: markers may be padded with 0xFF
+            i += 1
+            continue
         if marker in _STANDALONE:
             i += 2
             continue

@@ -27,17 +27,60 @@ import zlib
 
 MAX_PDF_BYTES = 8_000_000   # raw payload cap (bounded per-item work)
 MAX_STREAM_BYTES = 4_000_000  # per decoded stream (zip-bomb guard)
+MAX_TOTAL_STREAM_BYTES = 32_000_000  # across all streams of one payload
+MAX_PDF_TEXT_CHARS = 500_000  # extracted-text cap (= kernel.MAX_TEXT_BYTES)
+
+# bytes that may precede/follow a BT/ET operator token (PDF delimiters and
+# whitespace); 'MARKET' must not read as an ET token
+_TOKEN_BOUNDARY = b"\x00\t\n\x0c\r ()<>[]{}/%"
 
 # operators of interest inside a text block (strings are scanned manually —
 # PDF literal strings may contain BALANCED unescaped parens, beyond regex)
 _OP_RE = re.compile(rb"Tj|TJ|T\*|'|\"")
 
 
+def _is_token_at(content: bytes, i: int, tok: bytes) -> bool:
+    """True when content[i:i+len(tok)] is `tok` delimited as a standalone
+    PDF token (whitespace/delimiter or boundary on both sides)."""
+    if content[i:i + len(tok)] != tok:
+        return False
+    before = content[i - 1:i]
+    after = content[i + len(tok):i + len(tok) + 1]
+    return ((not before or before in _TOKEN_BOUNDARY or before[0] in _TOKEN_BOUNDARY)
+            and (not after or after in _TOKEN_BOUNDARY or after[0] in _TOKEN_BOUNDARY))
+
+
+def _find_block_end(content: bytes, i: int) -> int:
+    """Position of the ET token closing a BT block, STRING-AWARE: 'ET'
+    bytes inside literal/hex strings or inline dicts (MARKET, NET, GET...)
+    are operand data, not the operator — a raw find() truncated the block
+    at the first such word and lost its text. Unterminated blocks run to
+    end (total)."""
+    n = len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # ( literal string
+            _, i = _scan_literal(content, i)
+            continue
+        if c == 0x3C:
+            if content[i + 1:i + 2] == b"<":
+                i = _skip_dict(content, i)
+            else:
+                j = content.find(b">", i + 1)
+                i = n if j < 0 else j + 1
+            continue
+        if c == 0x45 and _is_token_at(content, i, b"ET"):  # 'E'
+            return i
+        i += 1
+    return n
+
+
 def _text_blocks(content: bytes) -> list[bytes]:
-    """BT..ET spans via linear find() scanning. NOT a regex: `BT(.*?)ET`
-    backtracks from every unmatched BT, which is O(n^2) on adversarial
-    streams full of 'BT' with no 'ET' — a DoS at the 4 MB stream cap.
-    An unterminated final BT runs to end-of-stream (total)."""
+    """BT..ET spans via linear, string-aware scanning. NOT a regex:
+    `BT(.*?)ET` backtracks from every unmatched BT — O(n^2) on adversarial
+    streams. BT/ET must be standalone tokens (word boundaries), and ET is
+    searched outside string/dict operands. An unterminated final BT runs
+    to end-of-stream (total)."""
     out = []
     pos = 0
     n = len(content)
@@ -45,10 +88,10 @@ def _text_blocks(content: bytes) -> list[bytes]:
         s = content.find(b"BT", pos)
         if s < 0:
             break
-        e = content.find(b"ET", s + 2)
-        if e < 0:
-            out.append(content[s + 2:])
-            break
+        if not _is_token_at(content, s, b"BT"):
+            pos = s + 2
+            continue
+        e = _find_block_end(content, s + 2)
         out.append(content[s + 2:e])
         pos = e + 2
     return out
@@ -73,11 +116,12 @@ def _unescape_literal(body: bytes) -> bytes:
             out += _ESC[nxt]
             i += 2
         elif nxt and nxt in b"01234567":
+            # up to three octal digits; high-order overflow ignored
+            # (ISO 32000: \777 -> 0xFF, never a spurious literal digit)
             j = i + 1
-            while (j < min(i + 4, n) and body[j:j + 1] in b"01234567"
-                   and int(body[i + 1:j + 1], 8) < 256):
+            while j < min(i + 4, n) and body[j:j + 1] in b"01234567":
                 j += 1
-            out.append(int(body[i + 1:j], 8))
+            out.append(int(body[i + 1:j], 8) & 0xFF)
             i = j
         elif nxt in (b"\n", b"\r"):
             i += 2
@@ -220,6 +264,7 @@ def _streams(payload: bytes) -> list[bytes]:
     choice when the xref can't be trusted."""
     out = []
     pos = 0
+    total = 0
     n = len(payload)
     while pos < n:
         s = payload.find(b"stream", pos)
@@ -235,13 +280,18 @@ def _streams(payload: bytes) -> list[bytes]:
             b0 += 1
         e = payload.find(b"endstream", b0)
         if e < 0:
-            break
+            e = n  # unterminated (e.g. the byte cap cut mid-stream):
+            # process the prefix, mirroring the documented truncation rule
         body = payload[b0:e].rstrip(b"\r\n")
         try:
             body = zlib.decompressobj().decompress(body, MAX_STREAM_BYTES)
         except Exception:
             pass  # raw (or undecodable) stream: keep bytes as-is
-        out.append(body[:MAX_STREAM_BYTES])
+        body = body[:MAX_STREAM_BYTES]
+        total += len(body)
+        out.append(body)
+        if total > MAX_TOTAL_STREAM_BYTES:
+            break  # decompression-amplification guard across streams
         pos = e + 9
     return out
 
@@ -273,6 +323,12 @@ def extract_pdf_text(payload: bytes | None) -> tuple[str, str]:
         text = _normalize(" ".join(pieces))
     except Exception:
         return "", "parse_error"
+    if len(text) > MAX_PDF_TEXT_CHARS:
+        # total-output cap: per-stream caps alone still allow unbounded
+        # output across many streams (decompression amplification measured
+        # at 377 KB payload -> 119 MB string before this guard)
+        text = text[:MAX_PDF_TEXT_CHARS]
+        truncated = True
     if not text:
         return "", "empty"
     return text, ("truncated" if truncated else "ok")

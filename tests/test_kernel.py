@@ -316,3 +316,27 @@ def test_golden_corpus_hash(tmp_path):
     assert h.hexdigest() == (
         "4e414bbb44d357faf68c35fbe6be76250df03b91a261588cf8cbbf8785e1502f"
     ), "kernel output drifted — if intentional, bump KERNEL_VERSION and this hash"
+
+
+def test_stray_quote_in_unquoted_attr_does_not_drop_document():
+    # HTML5: a quote inside an unquoted attribute value is a value char;
+    # the quote-aware tail regex can't match, and the scanner previously
+    # dropped the ENTIRE remaining document with status 'ok'
+    html = (b"<html><body><p title=don't>first paragraph with plenty of"
+            b" running words to clear the keep threshold today</p>"
+            b"<p>second paragraph also has plenty of running words to be"
+            b" kept by the classifier</p></body></html>")
+    r = kernel.extract_page(html)
+    assert "first paragraph" in r.extracted_text
+    assert "second paragraph" in r.extracted_text
+
+
+def test_rawtext_close_requires_token_boundary():
+    # '</scriptable>' must not close <script>; the real close follows
+    html = (b"<html><body><script>var s = \"</scriptable>\"; var leak=1;"
+            b"</script><p>real content paragraph with plenty of running"
+            b" words to clear every keep threshold</p></body></html>")
+    r = kernel.extract_page(html)
+    assert "leak" not in r.extracted_text
+    assert "scriptable" not in r.extracted_text
+    assert "real content paragraph" in r.extracted_text

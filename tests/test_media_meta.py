@@ -104,3 +104,10 @@ def test_spark_wrapper_carries_and_is_deterministic(spark):
                    r.channels)
             for r in mm.with_media_meta(df, "payload", keep_cols=("id",)).collect()}
     assert out == out2
+
+
+def test_jpeg_fill_bytes_before_markers():
+    # markers may be padded with any number of 0xFF fill bytes
+    b = mm.make_jpeg(640, 480)
+    padded = b[:2] + b"\xff\xff\xff" + b[2:]
+    assert mm.parse_media_meta(padded) == ("image/jpeg", 640, 480, 8, None, None)

@@ -169,3 +169,45 @@ def test_total_on_pdfish_bytes(data):
     framed = b"%PDF-1.4\nstream\n" + data + b"\nendstream\nBT " + data + b" ET"
     text, status = pdf.extract_pdf_text(framed)
     assert isinstance(text, str)
+
+
+def test_et_bytes_inside_strings_do_not_truncate_blocks():
+    # 'ET'/'BT' bytes inside string operands are data, not operators —
+    # 'MARKET REPORT' must survive its own generator roundtrip
+    for did in (0, 1, 2, 3):
+        got, status = pdf.extract_pdf_text(
+            pdf.make_pdf("MARKET REPORT ON NET BUDGET TARGETS", did))
+        assert got == "MARKET REPORT ON NET BUDGET TARGETS", did
+        assert status == "ok"
+    raw = b"%PDF-1.4\nstream\nBT (GET SET) Tj (BT ET inside) Tj ET\nendstream"
+    assert pdf.extract_pdf_text(raw)[0] == "GET SET BT ET inside"
+
+
+def test_total_output_cap_on_amplified_streams():
+    # many small zlib streams expanding hugely: output must stay bounded
+    import zlib as z
+
+    show = b"BT (" + b"A" * 1000 + b") Tj ET\n"
+    one = z.compress(show * 3000)  # ~3 MB decoded per stream
+    payload = b"%PDF-1.4\n" + b"".join(
+        b"stream\n" + one + b"\nendstream\n" for _ in range(50))
+    text, status = pdf.extract_pdf_text(payload)
+    assert len(text) <= pdf.MAX_PDF_TEXT_CHARS
+    assert status == "truncated"
+
+
+def test_truncated_midstream_processes_prefix():
+    # the byte cap cutting 'endstream' off must still extract the prefix
+    body = b"BT (prefix text survives) Tj ET"
+    raw = (b"%PDF-1.4\nstream\n" + body + b" "
+           + b"x" * (pdf.MAX_PDF_BYTES + 10))  # no endstream within cap
+    text, status = pdf.extract_pdf_text(raw)
+    assert "prefix text survives" in text
+    assert status == "truncated"
+
+
+def test_octal_overflow_per_spec():
+    # ISO 32000: three octal digits consumed, high-order overflow ignored
+    assert pdf._unescape_literal(b"\\777") == b"\xff"
+    assert pdf._unescape_literal(b"\\101B") == b"AB"
+    assert pdf._unescape_literal(b"\\40x") == b" x"
