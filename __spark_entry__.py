@@ -312,15 +312,12 @@ def _q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of the streaming windowed aggregation; integer-exact
-    micro-sum so both engines hash identically."""
-    ev = _events(spark, sf_dir)
-    bucket = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
-    return (
-        ev.groupBy(bucket.alias("win_start"), "event_type")
-        .agg(F.count("*").alias("n_events"),
-             F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("sum_micros"))
-    )
+    """The batch twin of the streaming windowed aggregation — calls the
+    SAME function the stream==batch test pins (single-implementation rule;
+    a second hand-rolled copy of the aggregation is how twins drift)."""
+    from llmap_spark.streaming.windowed import windowed_counts_batch
+
+    return windowed_counts_batch(_events(spark, sf_dir), minutes=5)
 
 
 def _q_orders_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:

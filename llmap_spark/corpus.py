@@ -219,7 +219,8 @@ def pages_path_for(sf_dir: str, cache_root: str = "/root/repo/.cache/pages",
                    pages_per_doc: int | None = None) -> str:
     """Memoized generation: one parquet per (sf tier, corpus version)."""
     tier = Path(sf_dir).name or "sf"
-    tag = f"{tier}-v{CORPUS_VERSION}" + (f"-ppd{pages_per_doc}" if pages_per_doc else "")
+    tag = f"{tier}-v{CORPUS_VERSION}" + (
+        f"-ppd{pages_per_doc}" if pages_per_doc is not None else "")
     out = Path(cache_root) / tag / "pages.parquet"
     marker = out.with_suffix(".parquet.done")
     if marker.exists() and out.exists():

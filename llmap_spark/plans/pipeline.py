@@ -147,6 +147,12 @@ def _carry(fn, extra_ddl: str):
             carried = pdf[extra_names].reset_index(drop=True)
             for out in fn(iter([pdf])):
                 out = out.reset_index(drop=True)
+                # the carry contract is 1 output row per input row in
+                # order; pandas index alignment would silently misalign a
+                # chunked/filtered kernel instead of erroring
+                assert len(out) == len(carried), (
+                    "carried kernel must yield exactly one same-order row "
+                    f"per input row ({len(out)} != {len(carried)})")
                 for name in extra_names:
                     out[name] = carried[name]
                 yield out

@@ -38,7 +38,7 @@ def kept_documents(docs: DataFrame, id_col: str = "doc_id",
                                              minhash_lsh_candidates)
     from llmap_spark.operators.textstats import quality_features
 
-    q = quality_features(docs).filter(F.col("q_keep"))
+    q = quality_features(docs, text_col=text_col).filter(F.col("q_keep"))
     reps = exact_dedup(q, id_col=id_col, text_col=text_col) \
         .filter(~F.col("is_dup"))
     # materialize=True: the candidate set feeds an ITERATIVE consumer

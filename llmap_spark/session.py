@@ -64,5 +64,17 @@ def get_spark(app_name: str = "llmap_spark", cores: int | None = None,
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
+    # getOrCreate returns any EXISTING session and silently ignores the
+    # builder confs — re-apply the runtime-settable ones (spark.sql.*) so
+    # a second get_spark() call in the same process still gets its scan
+    # sizing and shuffle partitions; static confs (master, memory) can't
+    # change on a live session and are skipped.
+    runtime = {"spark.sql.shuffle.partitions": str(shuffle_partitions),
+               **{k: str(v) for k, v in (extra_conf or {}).items()}}
+    for k, v in runtime.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on an existing session
     spark.sparkContext.setLogLevel("WARN")
     return spark

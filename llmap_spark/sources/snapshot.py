@@ -58,13 +58,17 @@ def committed_snapshots(out_root: str) -> list[Snapshot]:
     if not mdir.is_dir():
         return []
     snaps = []
-    for f in sorted(mdir.glob("snapshot-*.json")):
+    for f in mdir.glob("snapshot-*.json"):
         m = json.loads(f.read_text())
         snaps.append(Snapshot(
             snapshot_id=m["snapshot_id"], data_path=m["data_path"],
             lineage_path=m["lineage_path"], n_rows=m["n_rows"],
             kernel_version=m["kernel_version"], parent_id=m.get("parent_id"),
         ))
+    # sort by PARSED id, not filename: lexicographic order breaks past the
+    # zero-pad width ('snapshot-1000000' < 'snapshot-999999'), which would
+    # make next_id reuse a live id and overwrite committed data
+    snaps.sort(key=lambda s: s.snapshot_id)
     return snaps
 
 
@@ -97,6 +101,14 @@ def run_extract_job(spark: SparkSession, pages: DataFrame, out_root: str,
     sort-merge anti-join; that is the price of exactly-once resume and it
     only reads one column of the output table.
     """
+    if not cfg.keep_ops_columns:
+        # fail BEFORE paying the extraction: lineage_from needs the ops
+        # columns (partition_id/salt_bucket/bytes), and committing without
+        # them would also mix parquet schemas across snapshots that
+        # read_extracted unions
+        raise ValueError(
+            "run_extract_job requires ExtractConfig(keep_ops_columns=True): "
+            "lineage is derived from the ops columns of the written rows")
     snaps = committed_snapshots(out_root)
     # refuse to silently mix kernel semantics in one output table: resume
     # only continues a table whose committed snapshots used this kernel
@@ -122,15 +134,18 @@ def run_extract_job(spark: SparkSession, pages: DataFrame, out_root: str,
     ex.write.mode("overwrite").parquet(data_path)
     finished = time.time()
 
-    # lineage is derived from the *written* files -> exactly consistent
+    # lineage is derived from the *written* files -> exactly consistent.
+    # n_rows comes from the lineage aggregate itself: a separate count()
+    # would re-scan the whole new snapshot a second time per commit.
     written = spark.read.parquet(data_path)
-    n_rows = written.count()
-    if n_rows == 0:
-        return None  # nothing new; no empty snapshot
     lineage = lineage_from(
         written, snapshot_id=next_id,
         started_at=_ts(started), finished_at=_ts(finished))
     lineage.write.mode("overwrite").parquet(lin_path)
+    lin_rows = spark.read.parquet(lin_path)
+    n_rows = (lin_rows.agg(F.sum("n_rows")).collect()[0][0] or 0)
+    if n_rows == 0:
+        return None  # nothing new; no empty snapshot
 
     manifest = {
         "snapshot_id": next_id,

@@ -27,10 +27,18 @@ def dedup_pages_stream(spark: SparkSession, pages_path: str,
     pages = (spark.readStream.schema(PAGES_DDL).format("parquet")
              .load(pages_path))
     fp = pages.withColumn("fingerprint", F.md5(F.col("html")))
-    out = (
-        fp.withWatermark("warc_ts", watermark)
+    # NULL html = UNKNOWN content, never a duplicate (same rule as batch
+    # exact_dedup): dropDuplicates treats nulls as EQUAL, so without the
+    # split every null-payload page after the first would be silently
+    # dropped from ingest
+    deduped = (
+        fp.filter(F.col("fingerprint").isNotNull())
+        .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
         .select("url", "warc_ts", "fingerprint")
     )
+    passthrough = (fp.filter(F.col("fingerprint").isNull())
+                   .select("url", "warc_ts", "fingerprint"))
+    out = deduped.unionByName(passthrough)
     return (out.writeStream.outputMode("append").format("memory")
             .queryName(query_name).start())

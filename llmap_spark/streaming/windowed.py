@@ -23,34 +23,48 @@ EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
 
 
 def windowed_counts_batch(events: DataFrame, minutes: int = 5) -> DataFrame:
-    """Batch twin: tumbling-window counts/sums per event_type. Uses
-    integer epoch bucketing so the DuckDB oracle can run the same query
-    (window() structs don't travel to SQL cleanly)."""
+    """Batch twin: tumbling-window counts + integer-exact micro-sums per
+    event_type. THE single implementation of these semantics: the driver
+    query (_q_windowed_events) calls this function and the DuckDB oracle
+    mirrors the identical integer formulas — a second hand-rolled copy of
+    the aggregation is how twins silently drift. Integer epoch bucketing
+    because window() structs don't travel to SQL cleanly; floor(value*1e6)
+    long sums because float sums hash differently across engines."""
     bucket = (F.floor(F.unix_timestamp("ts") / (minutes * 60))
               * (minutes * 60)).cast("long")
     return (
         events.groupBy(bucket.alias("win_start"), "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"))
+             F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+             .alias("sum_micros"))
     )
 
 
 def windowed_counts_stream(spark: SparkSession, src_path: str,
                            minutes: int = 5, watermark: str = "10 minutes",
-                           query_name: str = "windowed_counts"):
-    """Streaming variant: watermarked tumbling window. Returns the started
-    query; caller drives it (processAllAvailable for tests)."""
+                           query_name: str = "windowed_counts",
+                           output_mode: str = "update"):
+    """Streaming variant of windowed_counts_batch (same columns, same
+    integer arithmetic). Returns the started query; caller drives it.
+
+    output_mode matters for the watermark: in 'update'/'append' the
+    watermark EVICTS window state — the bounded-state shape an unbounded
+    stream requires. 'complete' retains every window forever and makes the
+    watermark inert; the test harness uses it deliberately because its
+    input is bounded and it wants the final table to equal the batch twin
+    exactly — never run 'complete' on a real stream."""
     events = (spark.readStream.schema(EVENTS_DDL).format("parquet")
               .load(src_path))
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", f"{minutes} minutes"), "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"))
+             F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+             .alias("sum_micros"))
         .select(F.unix_timestamp("window.start").cast("long").alias("win_start"),
-                "event_type", "n_events", "sum_value")
+                "event_type", "n_events", "sum_micros")
     )
-    return (agg.writeStream.outputMode("complete").format("memory")
+    return (agg.writeStream.outputMode(output_mode).format("memory")
             .queryName(query_name).start())
 
 

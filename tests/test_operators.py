@@ -644,6 +644,19 @@ def test_training_pipeline_kept_documents(spark, docs):
     assert kept == kept2
 
 
+def test_training_pipeline_respects_text_col(spark, docs):
+    """The quality gate must read the configured text column (it silently
+    hard-coded 'text' once: wrong gate when a stale 'text' column exists)."""
+    from llmap_spark.plans.training import kept_documents
+
+    renamed = (docs.limit(30).withColumnRenamed("text", "body")
+               .withColumn("text", F.lit("zz")))  # stale decoy column
+    kept = {r.doc_id for r in
+            kept_documents(renamed, text_col="body").collect()}
+    # with the decoy gating, nothing would pass quality at all
+    assert len(kept) >= 20
+
+
 def test_connected_components_nonconvergence_raises(spark):
     from llmap_spark.operators.dedup import connected_components
 

@@ -24,16 +24,19 @@ def _as_dir(src: str, dst: Path) -> str:
 
 def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     src = _as_dir(EVENTS, tmp_path / "events")
+    # 'complete' deliberately: bounded test input, final table must equal
+    # the batch twin exactly (update/append are the real-stream modes —
+    # see the operator docstring)
     q = windowed_counts_stream(spark, src, minutes=5,
-                               query_name="wc_test")
+                               query_name="wc_test", output_mode="complete")
     try:
         q.processAllAvailable()
-        got = {(r.win_start, r.event_type): (r.n_events, r.sum_value)
+        got = {(r.win_start, r.event_type): (r.n_events, r.sum_micros)
                for r in spark.sql("SELECT * FROM wc_test").collect()}
     finally:
         q.stop()
     events = spark.read.parquet(EVENTS)
-    want = {(r.win_start, r.event_type): (r.n_events, r.sum_value)
+    want = {(r.win_start, r.event_type): (r.n_events, r.sum_micros)
             for r in windowed_counts_batch(events, minutes=5).collect()}
     assert got == want
     assert len(want) > 10
@@ -93,6 +96,15 @@ def test_dedup_pages_stream_keeps_one_per_fingerprint(spark, pages_smoke, tmp_pa
                .withColumn("warc_ts",
                            F.col("warc_ts") + F.expr("INTERVAL 1 MINUTE")))
     recrawl.write.mode("append").parquet(src)
+    # three NULL-html fetches with distinct urls: UNKNOWN content, all
+    # must pass through (dropDuplicates treats nulls as EQUAL — the batch
+    # twin's null guard applies here too)
+    nulls = spark.createDataFrame(
+        [(f"https://null{i}.example/p", None, None, None, None)
+         for i in range(3)],
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).withColumn("warc_ts", F.lit("2025-01-01 00:00:00").cast("timestamp"))
+    nulls.write.mode("append").parquet(src)
 
     q = dedup_pages_stream(spark, src, query_name="dd_test")
     try:
@@ -100,13 +112,17 @@ def test_dedup_pages_stream_keeps_one_per_fingerprint(spark, pages_smoke, tmp_pa
         rows = spark.sql("SELECT * FROM dd_test").collect()
     finally:
         q.stop()
-    batch = spark.read.parquet(src).withColumn("fp", F.md5(F.col("html")))
+    batch = (spark.read.parquet(src).filter(F.col("html").isNotNull())
+             .withColumn("fp", F.md5(F.col("html"))))
     n_distinct = batch.select("fp").distinct().count()
     n_pages = batch.count()
     assert n_pages > n_distinct  # the corpus DOES contain recrawl dups
+    null_rows = [r for r in rows if r.fingerprint is None]
+    content_rows = [r for r in rows if r.fingerprint is not None]
+    # all three null-payload pages pass through un-deduped
+    assert len(null_rows) == 3
     # exactly one survivor per distinct content fingerprint
-    assert len(rows) == n_distinct
-    assert len({r.fingerprint for r in rows}) == n_distinct
-    # every survivor's fingerprint is a real corpus fingerprint
+    assert len(content_rows) == n_distinct
+    assert len({r.fingerprint for r in content_rows}) == n_distinct
     corpus_fps = {r.fp for r in batch.select("fp").distinct().collect()}
-    assert {r.fingerprint for r in rows} == corpus_fps
+    assert {r.fingerprint for r in content_rows} == corpus_fps
