@@ -16,8 +16,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-EDGE_RESIDUES_SQL = "(7, 13, 17, 23, 29, 31, 37)"
-NORM_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"  # duckdb side
+# interpolated from the corpus generator so the oracle cannot drift from
+# it (the residue->status mapping inside extract_status_counts still
+# restates corpus semantics by hand — see the comment there)
+from llmap_spark.corpus import EDGE_RESIDUES as _EDGE_RESIDUES
+
+EDGE_RESIDUES_SQL = "(" + ", ".join(map(str, sorted(_EDGE_RESIDUES))) + ")"
+# DuckDB-side normalization twin of kernel._normalize. NB: RE2's \s is
+# ASCII; Python str.split() also splits Unicode whitespace. The corpus
+# generator emits ASCII-whitespace text by construction, which is what
+# keeps the byte-identity oracles exact — a corpus with U+00A0 etc. would
+# need this class widened.
+NORM_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 CHUNK = 50  # words per chunk for explode_chunks
 
 
@@ -694,11 +704,31 @@ def oracle_sql() -> dict[str, str]:
     w_norm = f"string_split({NORM_SQL}, ' ')"
     return {
         "extract_roundtrip": f"""
-            SELECT doc_id, {NORM_SQL} AS extracted_text
-            FROM documents
-            WHERE doc_id % 1000 NOT IN {EDGE_RESIDUES_SQL}
+            -- the same integer keep gate extract_t0_full models: a doc
+            -- failing classification extracts '' (latent before: the
+            -- oracle assumed every doc passes, true of today's fixtures
+            -- but not of the rule)
+            WITH f AS (
+              SELECT doc_id, {NORM_SQL} AS norm,
+                CAST(length({NORM_SQL}) AS int) AS nc,
+                CASE WHEN length({NORM_SQL}) = 0 THEN 0
+                  ELSE CAST(length({NORM_SQL})
+                    - length(replace({NORM_SQL}, ' ', '')) AS int) + 1
+                END AS nt
+              FROM documents
+              WHERE doc_id % 1000 NOT IN {EDGE_RESIDUES_SQL})
+            SELECT doc_id,
+              CASE WHEN nc >= 16 AND nt >= 8
+                        AND nt >= 4 * CAST(ceil(nc / 80.0) AS int)
+                   THEN norm ELSE '' END AS extracted_text
+            FROM f
         """,
         "extract_status_counts": """
+            -- the residue->status mapping restates corpus.py semantics
+            -- (EDGE_RESIDUES: 7 empty, 13 no_body, 29 oversized->truncated,
+            -- 31 non_utf8->decode_replaced; 17/23/37 end up 'ok'); the
+            -- 10x factor is the generator's pages_per_doc default —
+            -- change either there and this oracle must follow
             WITH t AS (SELECT 10 * count(*) AS tot FROM documents),
             r AS (SELECT unnest([7, 13, 29, 31]) AS res,
                          unnest(['empty','no_body','truncated','decode_replaced']) AS status
@@ -807,6 +837,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_score": """
             WITH q AS (SELECT doc_id,
+              CAST(length(trim(regexp_replace(text,'\\s+',' ','g'))) AS int)
+                AS sq_len,
               CAST(length(text) AS int) AS n_chars_t,
               CASE WHEN length(trim(regexp_replace(text,'\\s+',' ','g'))) = 0 THEN 0
                 ELSE CAST(length(trim(regexp_replace(text,'\\s+',' ','g')))
@@ -821,13 +853,16 @@ def oracle_sql() -> dict[str, str]:
                 + (length(' '||text||' ') - length(replace(' '||text||' ',' a ','')))/3
                 + (length(' '||text||' ') - length(replace(' '||text||' ',' in ','')))/4 AS int) AS n_stop_hits
               FROM documents)
+            -- mwl uses the SQUEEZED length (n_tokens counts squeezed
+            -- whitespace; raw length would inflate mean word length on
+            -- whitespace-heavy docs) — mirrors textstats.quality_features
             SELECT doc_id, n_chars_t, n_tokens_t, n_periods, n_commas, n_stop_hits,
               CASE WHEN n_tokens_t > 0
-                THEN CAST(floor((n_chars_t - (n_tokens_t - 1)) * 100 / n_tokens_t) AS int)
+                THEN CAST(floor((sq_len - (n_tokens_t - 1)) * 100 / n_tokens_t) AS int)
                 ELSE 0 END AS mwl_x100,
               (n_tokens_t >= 10
                 AND (CASE WHEN n_tokens_t > 0
-                     THEN CAST(floor((n_chars_t - (n_tokens_t - 1)) * 100 / n_tokens_t) AS int)
+                     THEN CAST(floor((sq_len - (n_tokens_t - 1)) * 100 / n_tokens_t) AS int)
                      ELSE 0 END) BETWEEN 200 AND 1200
                 AND n_stop_hits >= 1) AS q_keep
             FROM q
@@ -853,10 +888,20 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "dedup_exact": f"""
-            SELECT doc_id, md5({NORM_SQL}) AS fingerprint,
-                   min(doc_id) OVER (PARTITION BY md5({NORM_SQL})) AS rep_id,
-                   doc_id <> min(doc_id) OVER (PARTITION BY md5({NORM_SQL})) AS is_dup
-            FROM documents
+            -- NULL text = UNKNOWN content, never a duplicate (mirrors the
+            -- Spark operator's guard; SQL windows would otherwise group
+            -- all NULL fingerprints into one partition)
+            WITH fp AS (
+              SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents),
+            w AS (
+              SELECT doc_id, fingerprint,
+                CASE WHEN fingerprint IS NOT NULL
+                     THEN min(doc_id) OVER (PARTITION BY fingerprint)
+                     ELSE doc_id END AS rep_id
+              FROM fp)
+            SELECT doc_id, fingerprint, rep_id,
+                   doc_id <> rep_id AS is_dup
+            FROM w
         """,
         "dedup_ngram_jaccard": f"""
             WITH d AS (SELECT doc_id, {w_norm} AS w FROM documents),
@@ -1018,9 +1063,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         # rows-only (genuinely non-SQL-expressible: hash-signature /
-        # iterative / float-ANN / fake-decode kernels; pytest carries
-        # their oracles instead — see tests/test_operators.py):
-        #   extract_full, dedup_minhash_lsh, dedup_simhash,
-        #   dedup_components, ann_brute_force, ann_ivf,
+        # iterative / float-ANN / engine-specific-sampler / fake-decode
+        # kernels; pytest carries their oracles instead — see tests/):
+        #   extract_full (t0 pages ARE oracle-checked via extract_t0_full),
+        #   dedup_minhash_lsh, dedup_simhash, dedup_components,
+        #   doc_fingerprints, winnow_overlap, cdc_chunks,
+        #   ann_brute_force, ann_ivf (integer twins embedding_topk_int /
+        #   embedding_neardup_int ARE oracle-checked),
+        #   embedding_neardup, embedding_lsh_neardup,
+        #   pipeline_kept_docs, link_hosts, sample_seeded,
         #   multimodal_media_meta
     }

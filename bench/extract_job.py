@@ -50,6 +50,10 @@ def main() -> int:
     extract(pages.limit(2000), ExtractConfig(repartition=cores)) \
         .write.format("noop").mode("overwrite").save()
 
+    # the timed region deliberately INCLUDES the parquet write: the
+    # contract metric is end-to-end extraction, and the write cost on
+    # the shared disk is decomposed explicitly in BENCH/BASELINE.md
+    # (noop-sink vs parquet rows) rather than hidden from the gate
     t0 = time.time()
     ex = extract(amplified, ExtractConfig(repartition=repartition))
     ex.write.mode("overwrite").parquet(out_dir)
@@ -57,8 +61,8 @@ def main() -> int:
 
     written = spark.read.parquet(out_dir)
     n = written.count()
-    out_bytes = written.agg(F.sum(F.length("extracted_text"))).collect()[0][0] or 0
-    in_bytes = (pages.agg(F.sum(F.length("html"))).collect()[0][0] or 0) * copies
+    out_bytes = written.agg(F.sum(F.octet_length("extracted_text"))).collect()[0][0] or 0
+    in_bytes = (pages.agg(F.sum(F.octet_length("html"))).collect()[0][0] or 0) * copies
 
     print(json.dumps({
         "elapsed_sec": round(elapsed, 3),

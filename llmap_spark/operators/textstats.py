@@ -77,11 +77,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_stop_hits", stop_hits.cast("int"))
     )
     # mean word length x100, integer division (portable): chars-without-
-    # spaces * 100 / tokens
+    # spaces * 100 / tokens — computed on the SQUEEZED length, not the raw
+    # one: n_tokens counts squeezed whitespace, so raw length would let
+    # every extra whitespace char inflate the mean word length (a 950-char
+    # page of ten 5-char words read as mwl ~94 instead of ~5, wrongly
+    # failing the q_keep bound)
+    squeezed_len = F.length(
+        F.trim(F.regexp_replace(c, r"\s+", " "))).cast("int")
     out = out.withColumn(
         "mwl_x100",
         F.when(F.col("n_tokens_t") > 0,
-               F.floor((F.col("n_chars_t") - (F.col("n_tokens_t") - 1))
+               F.floor((squeezed_len - (F.col("n_tokens_t") - 1))
                        * F.lit(100) / F.col("n_tokens_t")).cast("int"))
         .otherwise(F.lit(0)),
     )
@@ -140,7 +146,9 @@ def lang_id(df: DataFrame, text_col: str = "text",
         .when(c["fr"] >= c["es"], "fr")
         .otherwise("es")
     )
-    return df.withColumn(out_col, pred)
+    # drop the per-language scratch counts: callers that don't re-select
+    # shouldn't carry 4 extra columns through downstream shuffles
+    return df.withColumn(out_col, pred).drop(*[f"lc_{k}" for k in LANG_MARKERS])
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",

@@ -76,6 +76,21 @@ def test_fingerprint_matches_duckdb(spark, docs):
     assert got == want
 
 
+def test_quality_mwl_on_whitespace_heavy_text(spark):
+    """Mean word length must be computed on squeezed text: raw length let
+    whitespace runs inflate mwl and wrongly fail the q_keep bound."""
+    from llmap_spark.operators.textstats import quality_features
+
+    words = ["the", "and", "words", "here", "going", "along", "fine",
+             "today", "again", "still", "more", "words"]
+    rows = [(1, " ".join(words)), (2, ("   \n\t  ").join(words))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.mwl_x100, r.q_keep)
+           for r in quality_features(df).collect()}
+    assert got[1] == got[2]  # whitespace amount cannot change the verdict
+    assert got[1][1] is True
+
+
 def test_repetition_features_planted(spark):
     from llmap_spark.operators.textstats import repetition_features
 
