@@ -260,6 +260,24 @@ def _q_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_host_edges(_pages(spark, sf_dir))
 
 
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization verified by construction: messy urls (mixed
+    scheme/host case, default and non-default ports, fragments) are built
+    from doc_id arithmetic JVM-side, canonicalized by the real operator,
+    and the oracle recomputes the expected canonical form directly."""
+    from llmap_spark.operators.links import canonical_url
+
+    messy = F.expr(
+        "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HttpS' END, "
+        "'://WWW.Site', cast(doc_id % 50 as string), '.Example', "
+        "CASE WHEN doc_id % 5 = 0 THEN ':8080' "
+        "     WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END, "
+        "'/Path', cast(doc_id as string), "
+        "CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END)")
+    return _docs(spark, sf_dir).select(
+        "doc_id", canonical_url(messy).alias("canonical"))
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed rolling-hash document fingerprints (MOSS scheme; local —
     detects PARTIAL overlap, unlike md5/MinHash whole-doc schemes)."""
@@ -665,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link graph
         "link_extract_roundtrip": _q_link_extract_roundtrip,
         "link_hosts": _q_link_hosts,
+        "url_canonicalize": _q_url_canonicalize,
         # reference operator analogues
         "collate_binpack": _q_collate_binpack,
         "collate_binpack_bucketed": _q_collate_binpack_bucketed,
@@ -768,6 +787,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_pdf_roundtrip": f"""
             SELECT doc_id, {NORM_SQL} AS extracted_text FROM documents
+        """,
+        "url_canonicalize": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+              || '://www.site' || CAST(doc_id % 50 AS varchar) || '.example'
+              || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+              || '/Path' || CAST(doc_id AS varchar) AS canonical
+            FROM documents
         """,
         "link_extract_roundtrip": """
             SELECT doc_id, CAST(i - 1 AS int) AS link_idx,

@@ -43,6 +43,33 @@ def host_of(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, r"(?i)^https?://([^/]+)", 1))
 
 
+def canonical_url(url: Column) -> Column:
+    """Crawl-style URL canonicalization, pure JVM expressions:
+
+      * scheme and host lowercase (RFC 3986 case-insensitivity),
+      * default port stripped (:80 for http, :443 for https),
+      * fragment removed (never sent to the server),
+      * a bare trailing '?' removed.
+
+    Path/query case and param order are preserved (they are semantically
+    significant). Non-URL strings (no scheme) pass through unchanged —
+    total, like every kernel here. This is the url-side dedup key: the
+    same page fetched as HTTP://Host:80/a#x and http://host/a must
+    fingerprint identically."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"(?i)^([a-z][a-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    rest = F.regexp_replace(
+        F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+(.*)$", 1),
+        r"\?$", "")
+    host = (F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+            .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+            .otherwise(hostport))
+    return F.when(scheme != "",
+                  F.concat(scheme, F.lit("://"), host, rest)).otherwise(url)
+
+
 def link_host_edges(pages: DataFrame, url_col: str = "url",
                     html_col: str = "html") -> DataFrame:
     """Host-level link graph: (src_host, dst_host, n_links).

@@ -529,6 +529,26 @@ def test_link_host_edges_planted(spark):
     }
 
 
+def test_canonical_url_rules(spark):
+    from llmap_spark.operators.links import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/Path?q=A#frag", "http://www.ex.com/Path?q=A"),
+        ("https://Host:443/a", "https://host/a"),
+        ("https://Host:8443/a", "https://host:8443/a"),  # non-default kept
+        ("http://h/a?", "http://h/a"),                   # bare '?' stripped
+        ("FTP://Host:80/x", "ftp://host:80/x"),          # non-http port kept
+        ("relative/path#x", "relative/path#x"),          # no scheme: as-is
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, u string")
+    got = {r.i: r.c for r in
+           df.select("i", canonical_url(F.col("u")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_link_graph_on_corpus_is_nonempty(spark):
     from llmap_spark.corpus import pages_path_for
     from llmap_spark.operators.links import link_host_edges
