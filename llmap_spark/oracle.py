@@ -8,8 +8,9 @@ parse.py:254-281).
 
 CLI:
     python -m llmap_spark.oracle blocks  <file.html> [...]
-    python -m llmap_spark.oracle extract <file.html> [...]
-    python -m llmap_spark.oracle status  <file.html> [...]
+    python -m llmap_spark.oracle extract <file.html|file.pdf> [...]
+    python -m llmap_spark.oracle status  <file.html|file.pdf> [...]
+    python -m llmap_spark.oracle meta    <file.png|gif|jpg|wav|...> [...]
 """
 
 from __future__ import annotations
@@ -67,7 +68,7 @@ def _dispatch(payload: bytes):
 
 
 def main(argv: list[str]) -> int:
-    if len(argv) < 2 or argv[0] not in {"blocks", "extract", "status"}:
+    if len(argv) < 2 or argv[0] not in {"blocks", "extract", "status", "meta"}:
         print(__doc__, file=sys.stderr)
         return 2
     cmd, files = argv[0], argv[1:]
@@ -89,6 +90,13 @@ def main(argv: list[str]) -> int:
         elif cmd == "extract":
             r = _dispatch(html)
             print(r.extracted_text)
+        elif cmd == "meta":
+            from llmap_spark.media_meta import parse_media_meta
+
+            m = parse_media_meta(html)
+            print(f"{f}\tkind={m.kind}\twidth={m.width}\theight={m.height}\t"
+                  f"bit_depth={m.bit_depth}\tsample_rate={m.sample_rate}\t"
+                  f"channels={m.channels}")
         else:
             r = _dispatch(html)
             print(f"{f}\t{r.status}\tkept={r.n_blocks_kept}/{r.n_blocks_total}\t"
