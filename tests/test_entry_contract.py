@@ -71,6 +71,41 @@ def test_every_oracle_has_query():
     assert set(ORACLE) <= set(QUERIES)
 
 
+# Spark dtype -> acceptable DuckDB types. The driver's value-hash is
+# TYPE-SENSITIVE where this local replica's _canon comparison is not:
+# round 1 shipped three value-identical queries that hash-failed because
+# DuckDB widened sum(BIGINT) to HUGEINT. This test closes that local gap.
+_TYPE_OK = {
+    # int-width mixes (INTEGER vs BIGINT) hashed EQUAL in round 1's driver
+    # run (topk rnk was int vs BIGINT and green); only the non-native
+    # HUGEINT widening broke the hash
+    "bigint": {"BIGINT", "INTEGER"},
+    "int": {"INTEGER", "BIGINT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "double": {"DOUBLE"},
+    "timestamp": {"TIMESTAMP"},
+    "timestamp_ntz": {"TIMESTAMP"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_types_hash_compatible(spark, con, name):
+    df = QUERIES[name](spark, SF)
+    spark_types = dict(df.dtypes)
+    rel = con.sql(ORACLE[name])
+    duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    for col, st in spark_types.items():
+        dt = duck_types[col]
+        assert dt != "HUGEINT", (
+            f"{name}.{col}: DuckDB HUGEINT (wrap the aggregate in "
+            "CAST(... AS BIGINT) — the driver's value-hash is type-sensitive)")
+        allowed = _TYPE_OK.get(st)
+        assert allowed is not None, f"{name}.{col}: unmapped Spark type {st}"
+        assert dt in allowed, (
+            f"{name}.{col}: Spark {st} vs DuckDB {dt} — value hashes differ")
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
