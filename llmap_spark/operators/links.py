@@ -63,8 +63,12 @@ def canonical_url(url: Column) -> Column:
     rest = F.regexp_replace(
         F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+(.*)$", 1),
         r"\?$", "")
-    host = (F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
-            .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+    # (:PORT)+$ not :PORT$: a malformed double port ('h:443:443') must
+    # canonicalize in ONE application or the key is not idempotent
+    # (pinned by test_canonical_url_idempotent)
+    host = (F.when(scheme == "http", F.regexp_replace(hostport, r"(:80)+$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(hostport, r"(:443)+$", ""))
             .otherwise(hostport))
     return F.when(scheme != "",
                   F.concat(scheme, F.lit("://"), host, rest)).otherwise(url)

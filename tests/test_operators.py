@@ -549,6 +549,25 @@ def test_canonical_url_rules(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): a dedup key that keeps
+    changing under re-application corrupts any join keyed on it."""
+    from llmap_spark.operators.links import canonical_url
+
+    urls = [
+        "HTTP://WWW.Ex.COM:80/Path?q=A#frag", "https://Host:443/a",
+        "https://Host:8443/a?x=1&y=2", "http://h/a?", "FTP://Host:80/x",
+        "relative/path#x", "", "HtTpS://A.B.C:443:443/weird",
+        "http://h:80:80/", "https://h/p#a#b", "mailto:x@y.z",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, u string")
+    once = df.select("i", canonical_url(F.col("u")).alias("c1"))
+    twice = once.select("i", "c1", canonical_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r.c1 == r.c2, (r.i, r.c1, r.c2)
+
+
 def test_link_graph_on_corpus_is_nonempty(spark):
     from llmap_spark.corpus import pages_path_for
     from llmap_spark.operators.links import link_host_edges
