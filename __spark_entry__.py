@@ -785,8 +785,15 @@ def oracle_sql() -> dict[str, str]:
               'ok' AS status
             FROM pages
         """,
-        "extract_pdf_roundtrip": f"""
-            SELECT doc_id, {NORM_SQL} AS extracted_text FROM documents
+        "extract_pdf_roundtrip": """
+            -- coalesce BEFORE normalizing: the Spark side renders
+            -- make_pdf(text or ''), so a NULL-text doc must oracle to ''
+            -- rather than NULL (latent until fixtures carry NULL text,
+            -- which exact_dedup's guard already anticipates)
+            SELECT doc_id,
+                   trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
+                     AS extracted_text
+            FROM documents
         """,
         "url_canonicalize": """
             SELECT doc_id,

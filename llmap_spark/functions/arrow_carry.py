@@ -30,6 +30,13 @@ def map_with_carry(df: DataFrame, payload_col: str,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_ in batches:
             out = batch_fn(pdf_[payload_col]).reset_index(drop=True)
+            # keep_cols re-attach by POSITION: a batch_fn that filters or
+            # fans out rows would silently pair payloads with wrong keys
+            # (this helper is 1:1 by contract; plans/pipeline._carry has
+            # the same assert)
+            assert len(out) == len(pdf_), (
+                f"map_with_carry batch_fn returned {len(out)} rows for "
+                f"{len(pdf_)} inputs; the carry contract is 1:1")
             for c in reversed(list(keep_cols)):
                 out.insert(0, c, pdf_[c].reset_index(drop=True))
             yield out

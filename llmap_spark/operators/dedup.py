@@ -150,12 +150,16 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
 
     The operator is LAZY by default: it returns a plan and leaves the
     signature frame persisted (the UDF runs once per row however many
-    consumers the caller wires up). Pass materialize=True to eagerly
-    localCheckpoint the bounded candidate set and release the signature
-    cache — appropriate in notebooks/short jobs; on a long-lived cluster
-    prefer writing the candidates to a table, since localCheckpoint blocks
-    are lost on executor failure.
+    consumers the caller wires up); the persist is REGISTERED with
+    llmap_spark.cache so a long-lived session can release it via
+    release_persisted(). Pass materialize=True to eagerly localCheckpoint
+    the bounded candidate set and release the signature cache immediately —
+    appropriate in notebooks/short jobs; on a long-lived cluster prefer
+    writing the candidates to a table, since localCheckpoint blocks are
+    lost on executor failure.
     """
+    from llmap_spark.cache import register_persisted
+
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = df.select(F.col(id_col).alias("_id"),
@@ -165,6 +169,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     # the signature subtree feeds three consumers (band explode + the two
     # signature re-joins); persist so the Python UDF runs once per row
     sig = sig.persist()
+    if not materialize:
+        register_persisted(sig)
     # band key: md5 of the band's signature slice, JVM-side
     band_exprs = []
     for bd in range(bands):
@@ -251,6 +257,7 @@ def simhash_udf(seed: int = 42):
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3,
+                       max_bucket: int | None = 10_000,
                        materialize: bool = False) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -259,6 +266,16 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     on at least one band, so banding is lossless for the requested radius
     (with a fixed 4-band split, recall silently broke above Hamming 3).
     Verify is JVM-side bit_count(xor). Returns (id_a, id_b, hamming int).
+
+    `max_bucket` (default 10k) drops over-full band buckets before the
+    self-join: at radius 4 band keys are only ~12-13 bits, so bucket
+    population grows LINEARLY with corpus size and an uncapped bucket join
+    goes quadratic on a 10^9-doc corpus — the same skew hazard the MinHash
+    and embedding-LSH paths cap. Recall trade: the cap costs pairs only
+    when EVERY band of both members is hot, i.e. docs near-dup to very
+    many others (boilerplate-class content a curation pipeline drops
+    anyway). Pass max_bucket=None to restore the lossless-at-radius
+    pigeonhole guarantee on bounded corpora.
 
     Scale tradeoff: more bands means narrower band keys, hence a smaller
     key space and larger buckets (candidate volume grows roughly as
@@ -270,7 +287,8 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     # sh=0 marks word-less docs (see simhash_udf) — they are not duplicates
     # of each other, just empty; exclude them from blocking
     s = s.filter(F.col("sh") != 0)
-    return hamming_band_pairs(s, max_hamming, materialize=materialize)
+    return hamming_band_pairs(s, max_hamming, max_bucket=max_bucket,
+                              materialize=materialize)
 
 
 def hamming_band_pairs(s: DataFrame, max_hamming: int,
@@ -294,7 +312,11 @@ def hamming_band_pairs(s: DataFrame, max_hamming: int,
     Same laziness contract as minhash_lsh_candidates: the sketch frame is
     persisted (both self-join sides consume it); materialize=True eagerly
     localCheckpoints the pair set and releases that cache — otherwise the
-    cache lives for the session (each call pins one tiny id+long frame)."""
+    persist is registered with llmap_spark.cache for caller-controlled
+    release via release_persisted() (each call pins one tiny id+long
+    frame)."""
+    from llmap_spark.cache import register_persisted
+
     n_bands = max_hamming + 1
     if not 1 <= n_bands <= 16:
         raise ValueError(f"max_hamming={max_hamming} out of range for a "
@@ -302,10 +324,10 @@ def hamming_band_pairs(s: DataFrame, max_hamming: int,
     base, rem = divmod(64, n_bands)
     widths = [base + 1 if k < rem else base for k in range(n_bands)]
     # both self-join sides consume the sketch subtree (often a UDF);
-    # persist so that pass happens once (tiny rows: id + one long). Same
-    # lazy-cache contract as minhash_lsh_candidates: session-scoped,
-    # caller may unpersist via spark.catalog.clearCache() in long-lived apps.
+    # persist so that pass happens once (tiny rows: id + one long)
     s = s.persist()
+    if not materialize:
+        register_persisted(s)
     bands = []
     off = 0
     for k, w in enumerate(widths):
@@ -382,7 +404,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 50,
-                         strict: bool = True) -> DataFrame:
+                         strict: bool = True,
+                         reliable: bool = False,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Duplicate clusters from candidate pairs: min-label propagation with
     POINTER DOUBLING (label = smallest reachable id).
 
@@ -395,12 +419,42 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     (default) a non-converged run RAISES instead of silently returning
     split components.
 
-    Each round is three shuffles (edge join + groupBy min + label
-    self-join), checkpointed to cut lineage. This replaces a
-    GraphFrames/union-find dependency; genuinely non-SQL-expressible, so
-    the driver records rows-only for it and pytest checks it against a
-    driver-side union-find on small data.
+    Round cost: TWO materialization jobs (hop; jump) plus one trivial
+    scan-aggregate over the already-materialized jump — change detection
+    is FUSED into the jump join (the old-label comparison rides the same
+    job), not run as a separate join job afterwards.
+
+    Fault tolerance: the default materialization is localCheckpoint —
+    fastest, but its blocks live on executors and are LOST on executor
+    failure, killing a long iteration mid-flight on a real cluster. Pass
+    reliable=True to use RELIABLE checkpoints instead (written to the
+    cluster checkpoint dir — HDFS/S3 — and recoverable across executor
+    loss); set `checkpoint_dir` or pre-configure
+    spark.sparkContext.setCheckpointDir. At 100 TB, reliable=True is the
+    right default for any corpus whose CC runs longer than the mean
+    executor MTBF.
+
+    This replaces a GraphFrames/union-find dependency; genuinely
+    non-SQL-expressible, so the driver records rows-only for it and pytest
+    checks it against a driver-side union-find on small data (both modes).
     """
+    spark = pairs.sparkSession
+    if reliable:
+        sc = spark.sparkContext
+        if checkpoint_dir is not None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif sc.getCheckpointDir() is None:
+            raise ValueError(
+                "connected_components(reliable=True) needs a reliable "
+                "checkpoint location: pass checkpoint_dir= or call "
+                "spark.sparkContext.setCheckpointDir first")
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -410,7 +464,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # against it, and a lazy `pairs` plan (e.g. a full LSH pipeline) would
     # otherwise be recomputed per round — measured 9x slower on the
     # composed curation chain
-    edges = edges.localCheckpoint(eager=True)
+    edges = ckpt(edges)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -432,11 +486,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # self-joining a deep un-materialized plan (seen with window+union
         # upstreams); rounds are O(log diameter) so the extra
         # materialization is cheap
-        hop = hop.localCheckpoint(eager=True)
+        hop = ckpt(hop)
         # jump: label <- label(label). Every label value is itself a node
         # (labels start as node ids and only node labels propagate), so the
         # self-join resolves each pointer one extra level; left join +
-        # coalesce keeps the row if the lookup misses.
+        # coalesce keeps the row if the lookup misses. The OLD label joins
+        # in here too, so the changed-this-round flag materializes in the
+        # SAME job as the jump instead of a separate join job per round.
         jumped = (
             hop.alias("x")
             .join(hop.select(F.col("node").alias("label"),
@@ -446,16 +502,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                     F.least(F.col("label"),
                             F.coalesce(F.col("label2"), F.col("label")))
                     .alias("label"))
+            .join(labels.select("node", F.col("label").alias("_old")), "node")
+            .select("node", "label",
+                    (F.col("label") != F.col("_old")).cast("int").alias("_chg"))
         )
-        # checkpoint the jump too, then count changes off the checkpointed
-        # frame — counting before would compute the join twice
-        new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_labels = ckpt(jumped)
+        # trivial aggregate over the materialized frame — no join recompute
+        changed = new_labels.agg(F.max("_chg")).first()[0]
+        labels = new_labels.select("node", "label")
+        if not changed:
             converged = True
             break
     if not converged and strict:

