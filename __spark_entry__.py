@@ -132,6 +132,31 @@ def _q_extract_t0_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_tpl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-column driver oracle for the funnel on EVERY t1-t7 page — the
+    extract_full upgrade past t0 the round-2 verdict asked for. The corpus
+    generator's structural counts (paragraph split k = 1 + i%5, nav items
+    3 + i%4, sidebar ads 2 + i%3) are pure arithmetic in the page index, so
+    the SQL oracle derives per-paragraph keep flags (candidate gate,
+    density rule, neighbor rescue around the tpl-3/5 link paragraph) and
+    the exact block counts (h1 + nav + optional aside + paragraphs +
+    footer) for all seven boilerplate templates. Validated block-for-block
+    against kernel.extract_page on every t1-t7 page before the SQL was
+    written."""
+    from llmap_spark.plans.pipeline import ExtractConfig, extract
+
+    # pre-filter the scan (mapInArrow blocks predicate pushdown; a per-row
+    # transform commutes with row filters — see extract_roundtrip)
+    pages = _pages(spark, sf_dir).filter(F.col("url").rlike("/t[1-7]/"))
+    ex = extract(pages, ExtractConfig())
+    return ex.select(
+        F.regexp_extract("url", r"/d(\d+)/p", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("url", r"/p(\d+)$", 1).cast("long").alias("page_i"),
+        F.regexp_extract("url", r"/t(\d)/", 1).cast("int").alias("tpl"),
+        "lang", "extracted_text", "n_blocks_kept", "n_blocks_total",
+        "status")
+
+
 def _q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True seeded random sampling (reference --sample, llmap.py:269-270,
     kept in spirit: Bernoulli with a fixed seed — reproducible run-to-run
@@ -147,6 +172,48 @@ def _q_pipeline_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.plans.training import kept_documents
 
     return kept_documents(_docs(spark, sf_dir))
+
+
+def _q_pipeline_kept_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation chain, HASH-VERIFIED by construction (the
+    round-2 verdict's top ask): docs are synthesized from doc_id arithmetic
+    so every stage's outcome is deterministic and the keep-list collapses
+    to pure SQL.
+
+    Construction (g = doc_id div 8, r = doc_id mod 8; per-group word soup
+    from md5(g) split into 4-char words — distinct groups share essentially
+    no shingles):
+      r in 0..3  near-dup family: identical text up to the CASE of a
+                 marker token ('zq','Zq','zQ','ZQ'). Distinct md5
+                 fingerprints (exact dedup keeps all four) but IDENTICAL
+                 lowercased shingle sets, hence IDENTICAL MinHash
+                 signatures — every within-family pair is an LSH candidate
+                 at est_jaccard exactly 1.0, no probabilistic recall.
+                 Components = families; keep = min id = 8g.
+      r in 4..5  exact duplicates of each other (family-unique text):
+                 exact dedup keeps r=4, drops r=5 before LSH.
+      r = 6      junk ('xx'): fails the quality gate.
+      r = 7      unique singleton: kept.
+    Expected keep-list: doc_id % 8 IN (0, 4, 7) — the oracle.
+    """
+    from llmap_spark.plans.training import kept_documents
+
+    def spaced(tag: str) -> str:
+        # md5 hex -> 8 four-char words ("abcd ef01 ...") — JVM regexp
+        return (f"regexp_replace(md5(concat('{tag}', "
+                "cast(doc_id DIV 8 as string))), '(....)', '$1 ')")
+
+    text = F.expr(
+        "CASE doc_id % 8 "
+        "WHEN 6 THEN 'xx' "
+        f"WHEN 7 THEN concat('the ', {spaced('s')}, {spaced('t')}) "
+        f"WHEN 4 THEN concat('the ', {spaced('e')}, {spaced('f')}) "
+        f"WHEN 5 THEN concat('the ', {spaced('e')}, {spaced('f')}) "
+        "ELSE concat(element_at(array('zq','Zq','zQ','ZQ'), "
+        "cast(doc_id % 8 as int) + 1), "
+        f"' the ', {spaced('a')}, {spaced('b')}) END")
+    planted = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return kept_documents(planted)
 
 
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,11 +320,36 @@ def _q_link_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-level link graph over the pages corpus (scan -> explode ->
-    groupBy, zero Python)."""
+    """Host-level link graph, hash-verified by construction: html is
+    synthesized JVM-side with the full resolution matrix planted as doc_id
+    arithmetic — absolute links (always), protocol-relative (doc_id%3=0),
+    path-relative (doc_id%2=0, resolves to the SOURCE host), plus dropped
+    kinds (mailto: at doc_id%5=0, bare fragments at doc_id%7=0) that the
+    oracle must NOT count. The real operator (links.link_host_edges:
+    explode + one groupBy shuffle, zero Python) aggregates the edges; the
+    oracle recomputes (src_host, dst_host, n_links) in SQL. The pages-
+    corpus variant of the same operator is pytest-covered
+    (test_operators.py link-graph cases)."""
     from llmap_spark.operators.links import link_host_edges
 
-    return link_host_edges(_pages(spark, sf_dir))
+    d = _docs(spark, sf_dir).select("doc_id")
+    html = F.expr(
+        "concat("
+        "'<a href=\"https://dst', cast(doc_id % 50 as string), "
+        "'.example/x\">a</a>', "
+        "CASE WHEN doc_id % 3 = 0 THEN concat('<a href=\"//pr', "
+        "cast(doc_id % 30 as string), '.example/y\">p</a>') ELSE '' END, "
+        "CASE WHEN doc_id % 2 = 0 THEN '<a href=\"/local/page\">r</a>' "
+        "ELSE '' END, "
+        "CASE WHEN doc_id % 5 = 0 THEN '<a href=\"mailto:x@y.example\">m</a>' "
+        "ELSE '' END, "
+        "CASE WHEN doc_id % 7 = 0 THEN '<a href=\"#frag\">f</a>' ELSE '' END"
+        ")")
+    pages = d.select(
+        F.concat(F.lit("https://src"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".example/page")).alias("url"),
+        html.cast("binary").alias("html"))
+    return link_host_edges(pages)
 
 
 def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,6 +619,32 @@ def _q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "extracted_text")
 
 
+def _q_extract_pdf_cid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMap-tier PDF extraction, driver-verified: documents render into
+    Type0/Identity-H-style PDFs whose text shows are 2-byte CID hex strings
+    resolved through a /ToUnicode CMap (codes deliberately unrelated to
+    Unicode values — skipping the CMap cannot round-trip). Oracle: the
+    normalized source text, like extract_pdf_roundtrip."""
+    import pandas as pd
+
+    from llmap_spark.functions.multimodal import with_pdf_text
+    from llmap_spark.pdf import make_pdf_cid
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        for pdf_ in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf_["doc_id"],
+                "payload": [make_pdf_cid(t or "", int(d))
+                            for d, t in zip(pdf_["doc_id"], pdf_["text"])],
+            })
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return with_pdf_text(payloads, "payload", keep_cols=("doc_id",)).select(
+        "doc_id", "extracted_text")
+
+
 def _q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media header metadata, driver-verified: deterministic
     PNG/GIF/JPEG/WAV payloads are generated with dimensions/depth/rate
@@ -663,8 +781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_status_counts": _q_extract_status_counts,
         "extract_t0_full": _q_extract_t0_full,
+        "extract_tpl_full": _q_extract_tpl_full,
         "extract_full": _q_extract_full,
         "pipeline_kept_docs": _q_pipeline_kept_docs,
+        "pipeline_kept_planted": _q_pipeline_kept_planted,
         # text analysis
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -709,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_neardup": _q_embedding_lsh_neardup,
         # multimodal
         "extract_pdf_roundtrip": _q_extract_pdf_roundtrip,
+        "extract_pdf_cid_roundtrip": _q_extract_pdf_cid_roundtrip,
         "multimodal_image_meta": _q_multimodal_image_meta,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "multimodal_media_meta": _q_multimodal_media_meta,
@@ -785,11 +906,103 @@ def oracle_sql() -> dict[str, str]:
               'ok' AS status
             FROM pages
         """,
+        "extract_tpl_full": f"""
+            -- derives the kernel's whole t1-t7 behavior from arithmetic:
+            -- page i of doc d exists for copies m=1..9 (tpl = m % 8, t0
+            -- copies excluded), non-edge only; paragraphs split the doc
+            -- words into k = 1 + i%5 chunks of step = ceil(nw/k); tpl 3/5
+            -- interleave a link paragraph after the first chunk; per-block
+            -- keep = candidate(nc>=16, link rule) AND nt>=8 AND density
+            -- nt >= 4*ceil(nc/80), then the neighbor rescue (candidate,
+            -- nt>=3, both neighbors base-kept); block total = h1 + nav
+            -- (3 + i%4) + aside (4 + i%3 when tpl%3<>0) + seq + footer(2)
+            WITH n AS (SELECT count(*) AS ndocs FROM documents),
+            feat AS (
+              SELECT doc_id, lang,
+                CASE WHEN {NORM_SQL} = '' THEN []
+                     ELSE string_split({NORM_SQL}, ' ') END AS w
+              FROM documents),
+            pages AS (
+              SELECT f.doc_id, f.lang, f.w, len(f.w) AS nw,
+                     f.doc_id + m.m * n.ndocs AS i,
+                     CAST(m.m % 8 AS int) AS tpl
+              FROM feat f, n, (SELECT unnest(generate_series(1, 9)) AS m) m
+              WHERE m.m % 8 <> 0
+                AND (f.doc_id + m.m * n.ndocs) % 1000
+                    NOT IN {EDGE_RESIDUES_SQL}),
+            par AS (
+              SELECT *, CASE WHEN nw = 0 THEN 1
+                        ELSE greatest(1, least(1 + i % 5, nw)) END AS k
+              FROM pages),
+            par2 AS (
+              SELECT *, CASE WHEN nw = 0 THEN 1
+                        ELSE (nw + k - 1) // k END AS step
+              FROM par),
+            seqs AS (
+              SELECT doc_id, i, tpl, lang,
+                CASE WHEN nw = 0 THEN CAST([] AS varchar[])
+                  WHEN tpl IN (3, 5) AND CAST(ceil(nw * 1.0 / step) AS int) > 1
+                  THEN [array_to_string(w[1:step], ' '),
+                        'Read more here today']
+                       || list_transform(
+                            generate_series(2, CAST(ceil(nw * 1.0 / step) AS int)),
+                            p -> array_to_string(w[((p-1)*step+1):(p*step)], ' '))
+                  ELSE list_transform(
+                         generate_series(1, CAST(ceil(nw * 1.0 / step) AS int)),
+                         p -> array_to_string(w[((p-1)*step+1):(p*step)], ' '))
+                END AS seq,
+                CASE WHEN nw > 0 AND tpl IN (3, 5)
+                          AND CAST(ceil(nw * 1.0 / step) AS int) > 1
+                     THEN 2 ELSE 0 END AS link_pos
+              FROM par2),
+            ex AS (
+              SELECT doc_id, i, tpl, lang, len(seq) AS nseq, link_pos,
+                     t.p AS bi, seq[t.p] AS txt
+              FROM seqs, LATERAL unnest(generate_series(1, len(seq))) AS t(p)),
+            flag AS (
+              SELECT *, length(txt) AS nc, len(string_split(txt, ' ')) AS nt,
+                     CASE WHEN bi = link_pos THEN length(txt) ELSE 0 END AS lk
+              FROM ex),
+            base AS (
+              SELECT *,
+                (nc >= 16 AND 4 * lk < 3 * nc) AS cand,
+                (nc >= 16 AND 4 * lk < 3 * nc AND nt >= 8 AND 3 * lk <= nc
+                 AND nt >= 4 * ((nc + 79) // 80)) AS b
+              FROM flag),
+            resc AS (
+              SELECT *,
+                (b OR (NOT b AND bi > 1 AND bi < nseq
+                       AND lag(b) OVER win AND lead(b) OVER win
+                       AND cand AND nt >= 3 AND 3 * lk <= nc)) AS keep
+              FROM base
+              WINDOW win AS (PARTITION BY doc_id, i ORDER BY bi)),
+            agg AS (
+              SELECT doc_id, i,
+                coalesce(string_agg(txt, chr(10) || chr(10) ORDER BY bi)
+                         FILTER (keep), '') AS extracted_text,
+                CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0)
+                     AS int) AS n_blocks_kept
+              FROM resc GROUP BY doc_id, i)
+            SELECT s.doc_id, CAST(s.i AS bigint) AS page_i, s.tpl, s.lang,
+              coalesce(a.extracted_text, '') AS extracted_text,
+              coalesce(a.n_blocks_kept, 0) AS n_blocks_kept,
+              CAST(1 + (3 + s.i % 4)
+                   + CASE WHEN s.tpl % 3 <> 0 THEN 4 + s.i % 3 ELSE 0 END
+                   + len(s.seq) + 2 AS int) AS n_blocks_total,
+              'ok' AS status
+            FROM seqs s LEFT JOIN agg a ON a.doc_id = s.doc_id AND a.i = s.i
+        """,
         "extract_pdf_roundtrip": """
             -- coalesce BEFORE normalizing: the Spark side renders
             -- make_pdf(text or ''), so a NULL-text doc must oracle to ''
             -- rather than NULL (latent until fixtures carry NULL text,
             -- which exact_dedup's guard already anticipates)
+            SELECT doc_id,
+                   trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
+                     AS extracted_text
+            FROM documents
+        """,
+        "extract_pdf_cid_roundtrip": """
             SELECT doc_id,
                    trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
                      AS extracted_text
@@ -809,6 +1022,33 @@ def oracle_sql() -> dict[str, str]:
                      || '.example/p' || CAST(i AS varchar) AS href
             FROM documents,
                  LATERAL unnest(generate_series(1, doc_id % 4 + 1)) AS t(i)
+        """,
+        "link_hosts": """
+            -- recompute the planted resolution matrix: absolute links
+            -- always, protocol-relative at doc_id%3=0, path-relative
+            -- (-> the SOURCE host) at doc_id%2=0; mailto:/#frag planted in
+            -- the html are dropped by the operator and absent here
+            WITH d AS (
+              SELECT doc_id,
+                'src' || CAST(doc_id % 20 AS varchar) || '.example' AS src_host,
+                'dst' || CAST(doc_id % 50 AS varchar) || '.example' AS abs_host,
+                'pr'  || CAST(doc_id % 30 AS varchar) || '.example' AS pr_host
+              FROM documents),
+            e AS (
+              SELECT src_host, abs_host AS dst_host FROM d
+              UNION ALL
+              SELECT src_host, pr_host AS dst_host FROM d WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT src_host, src_host AS dst_host FROM d WHERE doc_id % 2 = 0)
+            SELECT src_host, dst_host, count(*) AS n_links
+            FROM e GROUP BY src_host, dst_host
+        """,
+        "pipeline_kept_planted": """
+            -- the arithmetic the planted construction guarantees: per
+            -- 8-block, the near-dup family keeps its min id (r=0), the
+            -- exact-dup pair keeps r=4, junk r=6 fails quality, r=7 is a
+            -- kept singleton (see _q_pipeline_kept_planted)
+            SELECT doc_id FROM documents WHERE doc_id % 8 IN (0, 4, 7)
         """,
         "multimodal_frame_sample": """
             SELECT doc_id, CAST(fi AS int) AS frame_idx,
@@ -1099,12 +1339,14 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (genuinely non-SQL-expressible: hash-signature /
         # iterative / float-ANN / engine-specific-sampler / fake-decode
         # kernels; pytest carries their oracles instead — see tests/):
-        #   extract_full (t0 pages ARE oracle-checked via extract_t0_full),
+        #   extract_full (every non-edge page IS hash-checked via
+        #   extract_t0_full + extract_tpl_full; edge pages via the
+        #   extract_status_counts arithmetic oracle),
         #   dedup_minhash_lsh, dedup_simhash, dedup_components,
         #   doc_fingerprints, winnow_overlap, cdc_chunks,
         #   ann_brute_force, ann_ivf (integer twins embedding_topk_int /
         #   embedding_neardup_int ARE oracle-checked),
         #   embedding_neardup, embedding_lsh_neardup,
-        #   pipeline_kept_docs, link_hosts, sample_seeded,
-        #   multimodal_media_meta
+        #   pipeline_kept_docs (the planted twin pipeline_kept_planted IS
+        #   hash-checked), sample_seeded, multimodal_media_meta
     }

@@ -24,7 +24,7 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-CORPUS_VERSION = "1.2.0"
+CORPUS_VERSION = "1.3.0"
 SEED = 42
 EPOCH = datetime(2025, 1, 1)
 
@@ -56,18 +56,18 @@ def _host(rng: random.Random) -> str:
     return f"site-{rng.randrange(2000)}.example.io"
 
 
-def _nav(rng: random.Random) -> str:
+def _nav(n_items: int) -> str:
     items = "".join(
         f'<li><a href="/{w}">{w.title()}</a></li>'
-        for w in ("home", "world", "sports", "tech", "about", "contact")[: 3 + rng.randrange(4)]
+        for w in ("home", "world", "sports", "tech", "about", "contact")[:n_items]
     )
     return f"<nav><ul>{items}</ul></nav>"
 
 
-def _sidebar(rng: random.Random) -> str:
+def _sidebar(n_ads: int) -> str:
     ads = "".join(
         f'<div class="ad"><a href="/ad{k}">Sponsored link {k} buy now</a></div>'
-        for k in range(2 + rng.randrange(3))
+        for k in range(n_ads)
     )
     return f'<aside><h3>Trending</h3>{ads}<a href="/more">More stories</a></aside>'
 
@@ -87,6 +87,12 @@ def _paragraphs(text: str, k: int) -> list[str]:
 
 
 def _page_html(i: int, tpl: int, doc_text: str, rng: random.Random) -> bytes:
+    """Template html for page i. All STRUCTURAL counts (paragraph split,
+    nav items, sidebar ads) are pure arithmetic in ``i`` — NOT rng draws —
+    so the driver's SQL oracle can derive every template's block layout
+    and extracted text from (doc_id, page index) alone (the
+    extract_tpl_full oracle; rng remains only in the host pool, which
+    extraction never reads)."""
     esc = _htmlmod.escape
     title = " ".join(doc_text.split()[:3]) or "untitled page"
     if tpl == 0:
@@ -97,7 +103,7 @@ def _page_html(i: int, tpl: int, doc_text: str, rng: random.Random) -> bytes:
                f"<title>{esc(title)}</title></head><body><main>{body}</main>"
                "</body></html>")
         return doc.encode("utf-8")
-    paras = _paragraphs(doc_text, 1 + rng.randrange(5))
+    paras = _paragraphs(doc_text, 1 + i % 5)
     main = "".join(f"<p>{esc(p)}</p>" for p in paras)
     if tpl in (3, 5) and len(paras) > 1:
         # interleave a short link paragraph to exercise drop/rescue rules
@@ -107,12 +113,12 @@ def _page_html(i: int, tpl: int, doc_text: str, rng: random.Random) -> bytes:
              f"<title>{esc(title)}</title>",
              "<script>var x=1;function f(){return 'no text here';}</script>",
              "<style>.ad{color:red}</style></head><body>"]
-    parts.append(f"<header><h1>{esc(title)}</h1>{_nav(rng)}</header>")
+    parts.append(f"<header><h1>{esc(title)}</h1>{_nav(3 + i % 4)}</header>")
     if tpl % 3 == 1:
-        parts.append(_sidebar(rng))
+        parts.append(_sidebar(2 + i % 3))
     parts.append(f"<main><article>{main}</article></main>")
     if tpl % 3 == 2:
-        parts.append(_sidebar(rng))
+        parts.append(_sidebar(2 + i % 3))
     parts.append(_footer(rng))
     parts.append("</body></html>")
     return "".join(parts).encode("utf-8")

@@ -11,8 +11,12 @@ per-filetype parse dispatch, reference parse.py:236-240).
 
 Deliberate scope (documented, not hidden): text-layer extraction only —
 literal and hex strings in the standard escapes, FlateDecode or raw streams,
-UTF-16BE (BOM-tagged) hex strings. No font-CMap remapping, no encrypted
-PDFs, no image OCR; such payloads extract as empty text, never an exception.
+UTF-16BE (BOM-tagged) hex strings, and /ToUnicode CMap remapping for the
+common Identity-H/CID case (bfchar + bfrange, both scalar and array dst
+forms; all ToUnicode maps of a document are merged — per-font Tf tracking
+is out of scope, fine for the overwhelmingly common one-embedded-font crawl
+PDF). No encrypted PDFs, no image OCR; such payloads extract as empty
+text, never an exception.
 
 `make_pdf` is the matching deterministic generator used by tests and the
 driver roundtrip query: make_pdf(text) -> extract_pdf_text -> the
@@ -133,16 +137,85 @@ def _unescape_literal(body: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_string(raw: bytes) -> str:
-    """String object bytes -> str. UTF-16BE when BOM-tagged (the standard
-    PDF convention), else PDFDocEncoding approximated as latin-1 (exact for
-    ASCII, which is what font-unencoded simple PDFs carry)."""
+def _decode_string(raw: bytes, cmap: dict[int, str] | None = None) -> str:
+    """String object bytes -> str. Precedence:
+
+    1. UTF-16BE when BOM-tagged (the standard PDF convention);
+    2. the document's merged /ToUnicode CMap, applied when the bytes are
+       2-byte aligned and EVERY 2-byte code is in the map — the all-codes
+       rule keeps plain hex-ASCII strings in CMap-carrying documents from
+       being corrupted by a partial mapping (deterministic fallback);
+    3. PDFDocEncoding approximated as latin-1 (exact for ASCII, which is
+       what font-unencoded simple PDFs carry)."""
     if raw[:2] == b"\xfe\xff":
         try:
             return raw[2:].decode("utf-16-be", errors="replace")
         except Exception:
             return ""
+    if cmap and len(raw) % 2 == 0 and raw:
+        codes = [int.from_bytes(raw[i:i + 2], "big")
+                 for i in range(0, len(raw), 2)]
+        if all(c in cmap for c in codes):
+            return "".join(cmap[c] for c in codes)
     return raw.decode("latin-1", errors="replace")
+
+
+# ToUnicode CMap sections; entries are bounded (totality: an adversarial
+# CMap cannot allocate unbounded driver/executor memory)
+MAX_CMAP_ENTRIES = 65_536
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_RANGE_ARR_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[(?:\s*<[0-9A-Fa-f]+>)+\s*\]"
+    rb"|<[0-9A-Fa-f]+>)")
+
+
+def _hex_to_text(h: bytes) -> str:
+    """CMap dst hex -> unicode text (UTF-16BE per the ToUnicode spec)."""
+    if len(h) % 2:
+        h += b"0"
+    b = bytes.fromhex(h.decode("ascii"))
+    if len(b) % 2:
+        b += b"\x00"
+    return b.decode("utf-16-be", errors="replace")
+
+
+def _parse_cmap(body: bytes, cmap: dict[int, str]) -> None:
+    """Merge one ToUnicode CMap stream's bfchar/bfrange entries into
+    `cmap`. Total: malformed entries are skipped, entry count is capped."""
+    for m in _BFCHAR_RE.finditer(body):
+        toks = _HEX_RE.findall(m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            if len(cmap) >= MAX_CMAP_ENTRIES:
+                return
+            src = toks[i]
+            if len(src) > 8:
+                continue
+            cmap[int(src, 16)] = _hex_to_text(toks[i + 1])
+    for m in _BFRANGE_RE.finditer(body):
+        for rm in _RANGE_ARR_RE.finditer(m.group(1)):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            if hi < lo:
+                continue
+            hi = min(hi, lo + MAX_CMAP_ENTRIES)  # bound a hostile range
+            dst = rm.group(3)
+            if dst.startswith(b"["):
+                dsts = _HEX_RE.findall(dst)
+                for k, d in enumerate(dsts):
+                    if len(cmap) >= MAX_CMAP_ENTRIES or lo + k > hi:
+                        break
+                    cmap[lo + k] = _hex_to_text(d)
+            else:
+                text0 = _hex_to_text(dst[1:-1])
+                if not text0:
+                    continue
+                for k in range(hi - lo + 1):
+                    if len(cmap) >= MAX_CMAP_ENTRIES:
+                        return
+                    # scalar dst increments the LAST code point (spec rule)
+                    cmap[lo + k] = text0[:-1] + \
+                        chr(min(0x10FFFF, ord(text0[-1]) + k))
 
 
 def _scan_literal(block: bytes, i: int) -> tuple[bytes, int]:
@@ -213,10 +286,12 @@ def _scan_hex(block: bytes, i: int) -> tuple[bytes | None, int]:
     return bytes.fromhex(h.decode("ascii")), j + 1
 
 
-def _text_from_content(content: bytes) -> list[str]:
+def _text_from_content(content: bytes,
+                       cmap: dict[int, str] | None = None) -> list[str]:
     """Text-show strings from one decoded content stream, in stream order.
     Tj shows the pending string; TJ shows every string in the preceding
-    array (numbers are kerning, skipped); ' and " are move-and-show."""
+    array (numbers are kerning, skipped); ' and " are move-and-show.
+    `cmap` is the document's merged ToUnicode map (see _decode_string)."""
     pieces: list[str] = []
     for block in _text_blocks(content):
         pending: list[bytes] = []
@@ -243,11 +318,11 @@ def _text_from_content(content: bytes) -> list[str]:
             i = m.end()
             if tok in (b"Tj", b"'", b"\""):
                 if pending:
-                    pieces.append(_decode_string(pending[-1]))
+                    pieces.append(_decode_string(pending[-1], cmap))
                 pending = []
             elif tok == b"TJ":
                 if pending:
-                    pieces.append(_decode_string(b"".join(pending)))
+                    pieces.append(_decode_string(b"".join(pending), cmap))
                 pending = []
             elif tok == b"T*":
                 pending = []
@@ -334,15 +409,27 @@ def extract_pdf_text(payload: bytes | None) -> tuple[str, str]:
     if truncated:
         payload = payload[:MAX_PDF_BYTES]
     try:
+        streams = _streams(payload)
+        # pass 1: merge every ToUnicode CMap stream into one code->unicode
+        # map; CMap streams carry mapping tables, not text shows, so they
+        # are EXCLUDED from content scanning (their hex operands would
+        # otherwise leak into extracted text)
+        cmap: dict[int, str] = {}
+        content: list[bytes] = []
+        for stream in streams:
+            if b"beginbfchar" in stream or b"beginbfrange" in stream:
+                _parse_cmap(stream, cmap)
+            else:
+                content.append(stream)
         pieces: list[str] = []
-        for stream in _streams(payload):
-            pieces.extend(_text_from_content(stream))
+        for stream in content:
+            pieces.extend(_text_from_content(stream, cmap or None))
         # a PDF with no stream objects may still inline text operators
         # (generator never does this, but crawl PDFs exist that do); gated
         # on the payload looking textual so compressed/binary blobs never
         # feed the operator scan
         if not pieces and b"BT" in payload and _looks_textual(payload):
-            pieces = _text_from_content(payload)
+            pieces = _text_from_content(payload, cmap or None)
         text = _normalize(" ".join(pieces))
     except Exception:
         return "", "parse_error"
@@ -393,6 +480,96 @@ def _content_stream(text: str, doc_id: int) -> bytes:
             ops.append(b"<" + enc.hex().encode("ascii") + b"> Tj")
     ops.append(b"ET")
     return b"\n".join(ops)
+
+
+def make_pdf_cid(text: str, doc_id: int = 0,
+                 compress: bool | None = None) -> bytes:
+    """Minimal Type0/Identity-H-style PDF whose text shows are 2-byte CID
+    hex strings resolved through a /ToUnicode CMap:
+    extract_pdf_text(make_pdf_cid(t)) == (_normalize(t), 'ok'|'empty').
+
+    The code assignment is NON-trivial (codes 0x21.. in first-appearance
+    order of the distinct characters, unrelated to their Unicode values) so
+    a decoder that skips the CMap cannot round-trip. The CMap exercises
+    both bfchar entries (first half) and an array-form bfrange (rest).
+    compress=None alternates FlateDecode on the CONTENT stream by doc_id
+    parity (the CMap stream stays raw on odd ids and compressed on even,
+    like the content)."""
+    from llmap_spark.kernel import _normalize
+
+    if compress is None:
+        compress = doc_id % 2 == 0
+    norm = _normalize(text)
+    codes: dict[str, int] = {}
+    for ch in norm:
+        if ch not in codes:
+            codes[ch] = 0x21 + len(codes)
+    if len(codes) > 0xF000:
+        raise ValueError("make_pdf_cid: too many distinct characters for "
+                         "2-byte CIDs")
+    words = norm.split()
+    chunks = [" ".join(words[i:i + 8]) for i in range(0, len(words), 8)]
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for ci, chunk in enumerate(chunks):
+        s = ("" if ci == 0 else " ") + chunk
+        hexstr = "".join(f"{codes[ch]:04x}" for ch in s)
+        ops.append(b"<" + hexstr.encode("ascii") + b"> Tj")
+    ops.append(b"ET")
+    content = b"\n".join(ops)
+    # ToUnicode CMap: bfchar for the first half, array-form bfrange for the
+    # rest (dst hex is UTF-16BE per the spec; astral chars emit surrogates)
+    items = sorted(codes.items(), key=lambda kv: kv[1])
+    half = (len(items) + 1) // 2
+    lines = [b"/CIDInit /ProcSet findresource begin",
+             b"begincmap"]
+    if items[:half]:
+        lines.append(str(half).encode() + b" beginbfchar")
+        for ch, c in items[:half]:
+            dst = ch.encode("utf-16-be").hex().encode("ascii")
+            lines.append(b"<%04x> <" % c + dst + b">")
+        lines.append(b"endbfchar")
+    rest = items[half:]
+    if rest:
+        lines.append(b"1 beginbfrange")
+        arr = b" ".join(b"<" + ch.encode("utf-16-be").hex().encode("ascii")
+                        + b">" for ch, _ in rest)
+        lines.append(b"<%04x> <%04x> [" % (rest[0][1], rest[-1][1])
+                     + arr + b"]")
+        lines.append(b"endbfrange")
+    lines += [b"endcmap", b"end"]
+    cmap_body = b"\n".join(lines)
+    if compress:
+        content_b = zlib.compress(content)
+        cmap_b = zlib.compress(cmap_body)
+        filt = b" /Filter /FlateDecode"
+    else:
+        content_b, cmap_b, filt = content, cmap_body, b""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length " + str(len(content_b)).encode() + filt
+        + b" >>stream\n" + content_b + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Planted "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(cmap_b)).encode() + filt
+        + b" >>stream\n" + cmap_b + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, o in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + o + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+            + b"\n%%EOF\n")
+    return bytes(out)
 
 
 def make_pdf(text: str, doc_id: int = 0, compress: bool | None = None) -> bytes:

@@ -234,3 +234,45 @@ def test_inline_fallback_still_works_for_textual_payloads():
     text, status = pdf.extract_pdf_text(payload)
     assert text == "hello inline world"
     assert status == "ok"
+
+
+def test_cid_cmap_roundtrip():
+    """Type0/Identity-H tier: 2-byte CID hex shows resolved through a
+    /ToUnicode CMap (bfchar + array bfrange), both stream codings. The
+    code assignment is unrelated to Unicode values, so skipping the CMap
+    cannot round-trip."""
+    from llmap_spark.kernel import _normalize
+
+    cases = ["hello cid world this is a longer sentence with repeats",
+             "héllo wörld ünïcode 你好 \U0001F600 emoji",
+             "", "   ", "one"]
+    for t in cases:
+        for d in (0, 1):  # raw and FlateDecode
+            got = pdf.extract_pdf_text(pdf.make_pdf_cid(t, d))
+            want = (_normalize(t), "ok" if _normalize(t) else "empty")
+            assert got == want, (t[:20], d, got)
+
+
+def test_parse_cmap_forms():
+    m = {}
+    pdf._parse_cmap(b"beginbfrange\n<0010> <0013> <0041>\nendbfrange", m)
+    assert m == {0x10: "A", 0x11: "B", 0x12: "C", 0x13: "D"}
+    m = {}
+    pdf._parse_cmap(
+        b"beginbfchar\n<0001> <00660066>\nendbfchar\n"
+        b"beginbfrange\n<0005> <0006> [<0058> <0059>]\nendbfrange", m)
+    assert m == {1: "ff", 5: "X", 6: "Y"}
+    # hostile range is bounded, malformed entries skipped, never raises
+    m = {}
+    pdf._parse_cmap(b"beginbfrange\n<0000> <ffffffff> <0041>\nendbfrange", m)
+    assert len(m) <= pdf.MAX_CMAP_ENTRIES
+    pdf._parse_cmap(b"beginbfchar garbage endbfchar", {})
+
+
+def test_cmap_partial_map_does_not_corrupt_ascii_hex():
+    """The all-codes rule: a hex string whose 2-byte codes are not ALL in
+    the map falls back to latin-1 — a partial CMap must never corrupt
+    plain hex-ASCII shows."""
+    assert pdf._decode_string(b"AB", {0x4142: "Z"}) == "Z"
+    assert pdf._decode_string(b"AB", {0x9999: "q"}) == "AB"
+    assert pdf._decode_string(b"ABC", {0x4142: "Z"}) == "ABC"  # odd length
