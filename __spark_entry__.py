@@ -283,6 +283,52 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                               materialize=True)
 
 
+def _planted_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-variant near-dup families (the pipeline_kept_planted
+    construction, minus the junk/exact-dup members): members r=0..3 of
+    each 4-block share identical lowercased shingle sets, so their MinHash
+    signatures are IDENTICAL and every within-family pair is a candidate
+    at est_jaccard exactly 1.0."""
+    def spaced(tag: str) -> str:
+        return (f"regexp_replace(md5(concat('{tag}', "
+                "cast(doc_id DIV 4 as string))), '(....)', '$1 ')")
+
+    text = F.expr(
+        "concat(element_at(array('zq','Zq','zQ','ZQ'), "
+        "cast(doc_id % 4 as int) + 1), "
+        f"' the ', {spaced('a')}, {spaced('b')})")
+    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+
+
+def _q_dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH hash-verified by construction: within-family signatures
+    are identical, so the verified (est_jaccard >= 0.5) candidate set is
+    exactly the 6 within-family pairs per 4-block, each at agreement 64/64
+    — pure doc_id arithmetic for the SQL oracle. (The corpus-data variant
+    dedup_minhash_lsh stays rows-only: real signature estimates are not
+    SQL-expressible.)"""
+    from llmap_spark.operators.dedup import minhash_lsh_candidates
+
+    cand = minhash_lsh_candidates(_planted_neardup_docs(spark, sf_dir),
+                                  materialize=True)
+    return (cand.filter(F.col("est_jaccard") >= 0.5)
+            .select("id_a", "id_b",
+                    F.round(F.col("est_jaccard") * 64).cast("int")
+                    .alias("agree_x64")))
+
+
+def _q_dedup_components_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components hash-verified by construction: components over
+    the planted family candidates are exactly the 4-blocks, label = min id
+    = 4 * (doc_id div 4)."""
+    from llmap_spark.operators.dedup import (connected_components,
+                                             minhash_lsh_candidates)
+
+    cand = minhash_lsh_candidates(_planted_neardup_docs(spark, sf_dir),
+                                  materialize=True)
+    return connected_components(cand.filter(F.col("est_jaccard") >= 0.5))
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.dedup import (connected_components,
                                              simhash_candidates)
@@ -795,8 +841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_minhash_planted": _q_dedup_minhash_planted,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_components": _q_dedup_components,
+        "dedup_components_planted": _q_dedup_components_planted,
         "doc_fingerprints": _q_doc_fingerprints,
         "winnow_overlap": _q_winnow_overlap,
         "cdc_chunks": _q_cdc_chunks,
@@ -1042,6 +1090,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT src_host, src_host AS dst_host FROM d WHERE doc_id % 2 = 0)
             SELECT src_host, dst_host, count(*) AS n_links
             FROM e GROUP BY src_host, dst_host
+        """,
+        "dedup_minhash_planted": """
+            -- 6 within-family pairs per 4-block, agreement exactly 64/64
+            WITH m AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r
+                       FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(64 AS int) AS agree_x64
+            FROM m a JOIN m b ON a.g = b.g AND a.doc_id < b.doc_id
+        """,
+        "dedup_components_planted": """
+            SELECT doc_id AS node,
+                   CAST(4 * (doc_id // 4) AS bigint) AS component
+            FROM documents
         """,
         "pipeline_kept_planted": """
             -- the arithmetic the planted construction guarantees: per
