@@ -347,6 +347,66 @@ def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_table(_docs(spark, sf_dir))
 
 
+def _q_winnow_overlap_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint overlap, hash-verified by construction: 4-block
+    families of EXACT copies (winnowing does no dedup) share their entire
+    fingerprint set, so the pair list collapses to within-family pairs —
+    doc_id arithmetic. Distinct families are md5 word soups sharing no
+    16-char k-grams, so no cross-family pair reaches min_shared=2. The
+    shared-count column is a rolling-hash count (not SQL-expressible) and
+    is deliberately not selected; the corpus-data variant winnow_overlap
+    carries it rows-only."""
+    from llmap_spark.operators.fingerprints import winnow_overlap_pairs
+
+    text = F.expr(
+        "concat('the ', regexp_replace(md5(concat('w', "
+        "cast(doc_id DIV 4 as string))), '(....)', '$1 '), "
+        "regexp_replace(md5(concat('x', cast(doc_id DIV 4 as string))), "
+        "'(....)', '$1 '))")
+    planted = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return winnow_overlap_pairs(planted, min_shared=2) \
+        .select("id_a", "id_b")
+
+
+def _q_cdc_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC concatenation invariant, hash-verified over EVERY real document:
+    the chunks of a doc, concatenated in order, must reproduce the
+    normalized lowercased text exactly (md5-compared in SQL) and their
+    lengths must sum to its length. Chunk BOUNDARY positions are rolling-
+    hash math (rows-only in cdc_chunks; pytest pins shift-resistance)."""
+    from llmap_spark.operators.fingerprints import cdc_chunks_udf
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", cdc_chunks_udf()(F.col("text")).alias("_chunks"))
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(F.concat_ws("", F.col("_chunks")), "UTF-8"))
+        .alias("whole_md5"),
+        F.aggregate(F.transform("_chunks", F.length),
+                    F.lit(0), lambda a, v: a + v).cast("long")
+        .alias("n_chars_sum"))
+
+
+def _q_embedding_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH embedding near-dup path (hyperplane sketch UDF -> Hamming
+    banding -> exact JVM cosine verify), hash-verified by construction:
+    one-hot float vectors, identical within each (vec_id div 4) family —
+    identical sketches, Hamming 0, cosine exactly 1.0 (norms are exactly 1,
+    no float rounding). Families sharing a hot dimension ((g % 64)
+    collides) are ALSO near-dups by construction, so the oracle joins on
+    the one-hot dimension, not the family id."""
+    from llmap_spark.operators.similarity import embedding_lsh_neardup
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(sequence(0, 63), "
+               "j -> CASE WHEN j = cast((vec_id DIV 4) % 64 as int) "
+               "THEN cast(1.0 as float) ELSE cast(0.0 as float) END)")
+        .alias("embedding"))
+    return embedding_lsh_neardup(emb, max_hamming=6, threshold=0.95,
+                                 materialize=True)
+
+
 def _q_link_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link extraction verified end-to-end: html is synthesized JVM-side
     with hrefs planted as doc_id arithmetic, the JVM regexp extractor pulls
@@ -847,7 +907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_planted": _q_dedup_components_planted,
         "doc_fingerprints": _q_doc_fingerprints,
         "winnow_overlap": _q_winnow_overlap,
+        "winnow_overlap_planted": _q_winnow_overlap_planted,
         "cdc_chunks": _q_cdc_chunks,
+        "cdc_reassembly": _q_cdc_reassembly,
         # link graph
         "link_extract_roundtrip": _q_link_extract_roundtrip,
         "link_hosts": _q_link_hosts,
@@ -875,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_lsh_neardup": _q_embedding_lsh_neardup,
+        "embedding_lsh_planted": _q_embedding_lsh_planted,
         # multimodal
         "extract_pdf_roundtrip": _q_extract_pdf_roundtrip,
         "extract_pdf_cid_roundtrip": _q_extract_pdf_cid_roundtrip,
@@ -1090,6 +1153,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT src_host, src_host AS dst_host FROM d WHERE doc_id % 2 = 0)
             SELECT src_host, dst_host, count(*) AS n_links
             FROM e GROUP BY src_host, dst_host
+        """,
+        "winnow_overlap_planted": """
+            WITH m AS (SELECT doc_id, doc_id // 4 AS g FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM m a JOIN m b ON a.g = b.g AND a.doc_id < b.doc_id
+        """,
+        "cdc_reassembly": """
+            -- chunks concatenate back to the normalized LOWERCASED text
+            -- (cdc normalizes + lowercases before hashing/cutting)
+            SELECT doc_id,
+              md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))
+                AS whole_md5,
+              CAST(length(lower(trim(regexp_replace(coalesce(text, ''),
+                '\\s+', ' ', 'g')))) AS bigint) AS n_chars_sum
+            FROM documents
+        """,
+        "embedding_lsh_planted": """
+            -- near-dup pairs = vectors one-hot on the SAME dimension
+            -- ((vec_id // 4) % 64), cosine exactly 1.0 -> 1000000
+            WITH m AS (SELECT vec_id, (vec_id // 4) % 64 AS dim
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(1000000 AS bigint) AS cos_x1000000
+            FROM m a JOIN m b ON a.dim = b.dim AND a.vec_id < b.vec_id
         """,
         "dedup_minhash_planted": """
             -- 6 within-family pairs per 4-block, agreement exactly 64/64
