@@ -403,8 +403,13 @@ def _q_embedding_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
                "j -> CASE WHEN j = cast((vec_id DIV 4) % 64 as int) "
                "THEN cast(1.0 as float) ELSE cast(0.0 as float) END)")
         .alias("embedding"))
+    # max_bucket=None: the oracle assumes LOSSLESS recall, and the planted
+    # construction intentionally piles identical sketches into shared
+    # buckets (n/64 per bucket) — the default cap would drop ALL planted
+    # pairs past ~640k vectors. The construction bounds bucket join cost
+    # by itself (identical sketches, one band key per family dimension).
     return embedding_lsh_neardup(emb, max_hamming=6, threshold=0.95,
-                                 materialize=True)
+                                 max_bucket=None, materialize=True)
 
 
 def _q_link_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,9 +1034,15 @@ def oracle_sql() -> dict[str, str]:
             -- (3 + i%4) + aside (4 + i%3 when tpl%3<>0) + seq + footer(2)
             WITH n AS (SELECT count(*) AS ndocs FROM documents),
             feat AS (
+              -- coalesce BEFORE normalizing: the generator substitutes ''
+              -- for NULL text, so a NULL-text doc must derive as empty
+              -- rather than NULL-poisoning every downstream column (the
+              -- same latent hazard fixed in extract_pdf_roundtrip)
               SELECT doc_id, lang,
-                CASE WHEN {NORM_SQL} = '' THEN []
-                     ELSE string_split({NORM_SQL}, ' ') END AS w
+                CASE WHEN trim(regexp_replace(coalesce(text, ''),
+                                              '\\s+', ' ', 'g')) = '' THEN []
+                     ELSE string_split(trim(regexp_replace(coalesce(text, ''),
+                                            '\\s+', ' ', 'g')), ' ') END AS w
               FROM documents),
             pages AS (
               SELECT f.doc_id, f.lang, f.w, len(f.w) AS nw,
@@ -1052,18 +1063,18 @@ def oracle_sql() -> dict[str, str]:
             seqs AS (
               SELECT doc_id, i, tpl, lang,
                 CASE WHEN nw = 0 THEN CAST([] AS varchar[])
-                  WHEN tpl IN (3, 5) AND CAST(ceil(nw * 1.0 / step) AS int) > 1
+                  WHEN tpl IN (3, 5) AND ((nw + step - 1) // step) > 1
                   THEN [array_to_string(w[1:step], ' '),
                         'Read more here today']
                        || list_transform(
-                            generate_series(2, CAST(ceil(nw * 1.0 / step) AS int)),
+                            generate_series(2, ((nw + step - 1) // step)),
                             p -> array_to_string(w[((p-1)*step+1):(p*step)], ' '))
                   ELSE list_transform(
-                         generate_series(1, CAST(ceil(nw * 1.0 / step) AS int)),
+                         generate_series(1, ((nw + step - 1) // step)),
                          p -> array_to_string(w[((p-1)*step+1):(p*step)], ' '))
                 END AS seq,
                 CASE WHEN nw > 0 AND tpl IN (3, 5)
-                          AND CAST(ceil(nw * 1.0 / step) AS int) > 1
+                          AND ((nw + step - 1) // step) > 1
                      THEN 2 ELSE 0 END AS link_pos
               FROM par2),
             ex AS (
@@ -1160,13 +1171,16 @@ def oracle_sql() -> dict[str, str]:
             FROM m a JOIN m b ON a.g = b.g AND a.doc_id < b.doc_id
         """,
         "cdc_reassembly": """
-            -- chunks concatenate back to the normalized LOWERCASED text
-            -- (cdc normalizes + lowercases before hashing/cutting)
+            -- chunks concatenate back to the normalized ASCII-folded text;
+            -- the fold is translate(A-Z -> a-z), NOT lower(): engines'
+            -- lower() diverges from Python str.lower() on full-mapping
+            -- chars (İ), the repo's documented oracle-twin hazard
             SELECT doc_id,
-              md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))
+              md5(translate(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')),
+                  'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
                 AS whole_md5,
-              CAST(length(lower(trim(regexp_replace(coalesce(text, ''),
-                '\\s+', ' ', 'g')))) AS bigint) AS n_chars_sum
+              CAST(length(trim(regexp_replace(coalesce(text, ''),
+                '\\s+', ' ', 'g'))) AS bigint) AS n_chars_sum
             FROM documents
         """,
         "embedding_lsh_planted": """
@@ -1187,9 +1201,13 @@ def oracle_sql() -> dict[str, str]:
             FROM m a JOIN m b ON a.g = b.g AND a.doc_id < b.doc_id
         """,
         "dedup_components_planted": """
+            -- a node appears in CC output only if its family has >= 2
+            -- members (an isolated tail node — ndocs % 4 == 1 — yields no
+            -- candidate pairs and is absent from the Spark side too)
             SELECT doc_id AS node,
                    CAST(4 * (doc_id // 4) AS bigint) AS component
             FROM documents
+            WHERE (SELECT count(*) FROM documents) - 4 * (doc_id // 4) >= 2
         """,
         "pipeline_kept_planted": """
             -- the arithmetic the planted construction guarantees: per

@@ -145,11 +145,18 @@ def cdc_chunks_udf(k: int = 16, mask_bits: int = 6, min_len: int = 64,
     NORMALIZED text (concatenation invariant: ''.join(chunks) == the
     normalized text). Texts shorter than one k-gram yield one chunk."""
 
+    from llmap_spark.kernel import _ASCII_LOWER
+
     @pandas_udf("array<string>")
     def chunks(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            norm = " ".join((t or "").split()).lower()
+            # ASCII-only lowercase (kernel._ASCII_LOWER), NOT str.lower():
+            # full case mapping changes string LENGTH for some Unicode (İ
+            # -> 'i' + combining dot) and DIVERGES from SQL engines' simple
+            # mapping — the cdc_reassembly oracle compares md5s across
+            # engines, so the fold must be byte-for-byte portable
+            norm = " ".join((t or "").split()).translate(_ASCII_LOWER)
             if not norm:
                 out.append([])
                 continue

@@ -79,11 +79,13 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _block_partials(corpus_sel: DataFrame, block: list, kk: int,
-                    id_col: str, vec_col: str) -> DataFrame:
+                    id_col: str, vec_col: str):
     """Partial top-kk of one broadcast query block against the corpus:
     each corpus partition accumulates a running best-kk per query across
     all its Arrow batches (one BLAS matmul per batch) and emits once, so
-    shuffle volume is O(n_partitions * q_block * kk)."""
+    shuffle volume is O(n_partitions * q_block * kk). Returns
+    (partials DataFrame, the block's Broadcast) — the caller owns the
+    broadcast lifetime (destroy after materializing in multi-block mode)."""
     spark = corpus_sel.sparkSession
     q_ids = np.asarray([r[0] for r in block], dtype=np.int64)
     q_mat = _normalize(_as_matrix([r[1] for r in block]))
@@ -98,7 +100,12 @@ def _block_partials(corpus_sel: DataFrame, block: list, kk: int,
             if len(pdf) == 0:
                 continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_mat = _normalize(_as_matrix(list(pdf[vec_col])))
+            # dim PINNED to the query matrix: per-batch modal inference
+            # could pick a different dim on a majority-corrupt batch and
+            # the matmul would raise (the ragged-row crash _as_matrix's
+            # totality contract exists to prevent)
+            c_mat = _normalize(_as_matrix(list(pdf[vec_col]),
+                                          dim=qm.shape[1]))
             sims_b = c_mat @ qm.T  # (batch, nq)
             nb_b = np.repeat(c_ids[:, None], nq, axis=1)
             if best_s is None:
@@ -118,7 +125,7 @@ def _block_partials(corpus_sel: DataFrame, block: list, kk: int,
                             "neighbor_id": best_n.T.reshape(-1),
                             "score": best_s.T.reshape(-1)})
 
-    return corpus_sel.mapInPandas(partial, TOPK_SCHEMA)
+    return corpus_sel.mapInPandas(partial, TOPK_SCHEMA), bc
 
 
 def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
@@ -132,12 +139,17 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
 
     The query side streams through the driver in blocks of
     `max_query_rows` (toLocalIterator — never more than one block of rows
-    in driver memory), so driver memory is O(max_query_rows * dim)
-    REGARDLESS of query count: a query side 100x the block size runs as
-    100 corpus passes instead of raising or OOM-ing (the round-2 contract
-    raised past one block). Blocks partition the query ids disjointly, so
+    in driver memory at a time). With a single block the result is a lazy
+    plan (its broadcast lives as long as the plan). With multiple blocks
+    each block's partial top-k is MATERIALIZED (eager localCheckpoint) and
+    its broadcast destroyed before the next block starts, so driver/
+    executor broadcast storage stays O(max_query_rows * dim) regardless of
+    query count — a query side 100x the block size runs as 100 sequential
+    corpus passes instead of raising (round-2 contract) or accumulating
+    100 live broadcasts. Blocks partition the query ids disjointly, so
     per-block results concatenate with no cross-block merge; one window
-    pass at the end ranks the per-partition partials.
+    pass at the end ranks the per-partition partials. `max_blocks` bounds
+    the union plan width (Catalyst cannot analyze a 15k-way union).
 
     The intrinsic work is still O(|corpus| x |queries|) — that is what
     brute force MEANS — so for corpus-scale self-similarity prefer
@@ -145,19 +157,41 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     nprobe/n_centroids of each query's corpus."""
     import itertools
 
+    max_blocks = 1024  # ~67M queries at the default block size
     corpus_sel = corpus.select(id_col, vec_col)
     kk = k + (1 if exclude_self else 0)
     # one pass over the query side, one block in driver memory at a time
     it = queries.select(id_col, vec_col).toLocalIterator()
     partials = None
+    pending = None  # first block kept lazy until a second block appears
+    n_blocks = 0
     while True:
         block = list(itertools.islice(it, max_query_rows))
         if not block:
             break
-        p = _block_partials(corpus_sel, block, kk, id_col, vec_col)
-        partials = p if partials is None else partials.unionByName(p)
-    if partials is None:
+        n_blocks += 1
+        if n_blocks > max_blocks:
+            raise ValueError(
+                f"brute_force_topk query side exceeds {max_blocks} blocks "
+                f"of {max_query_rows} rows; brute force at this scale is "
+                "O(|corpus| x |queries|) — use ivf_topk (distributed query "
+                "side) or raise max_query_rows/max_blocks deliberately")
+        p, bc = _block_partials(corpus_sel, block, kk, id_col, vec_col)
+        if n_blocks == 1:
+            pending = (p, bc)
+            continue
+        if pending is not None:
+            p1, bc1 = pending
+            pending = None
+            partials = p1.localCheckpoint(eager=True)
+            bc1.destroy()
+        p = p.localCheckpoint(eager=True)
+        bc.destroy()
+        partials = partials.unionByName(p)
+    if n_blocks == 0:
         return spark.createDataFrame([], TOPK_SCHEMA + ", rank int")
+    if pending is not None:
+        partials = pending[0]  # single block: stay lazy, broadcast lives
     if exclude_self:
         partials = partials.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
@@ -216,7 +250,8 @@ def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = bc.value
         for pdf in batches:
-            m = _normalize(_as_matrix(list(pdf[vec_col])))
+            # dim pinned to the centroids (see brute-force partial)
+            m = _normalize(_as_matrix(list(pdf[vec_col]), dim=c.shape[1]))
             pdf = pdf.copy()
             pdf["centroid"] = np.argmax(m @ c.T, axis=1).astype(np.int32)
             yield pdf
@@ -228,7 +263,7 @@ def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
         c = bc.value
         np_probe = min(nprobe, len(c))
         for pdf in batches:
-            m = _normalize(_as_matrix(list(pdf[vec_col])))
+            m = _normalize(_as_matrix(list(pdf[vec_col]), dim=c.shape[1]))
             sims = m @ c.T
             order = np.argsort(-sims, axis=1)[:, :np_probe]
             rows = {"query_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), np_probe),
@@ -245,9 +280,10 @@ def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
         F.col(f"q.{vec_col}").alias("qv"), F.col(f"c.{vec_col}").alias("cv"))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
         for pdf in batches:
-            qm = _normalize(_as_matrix(list(pdf["qv"])))
-            cm = _normalize(_as_matrix(list(pdf["cv"])))
+            qm = _normalize(_as_matrix(list(pdf["qv"]), dim=c.shape[1]))
+            cm = _normalize(_as_matrix(list(pdf["cv"]), dim=c.shape[1]))
             s = np.einsum("ij,ij->i", qm, cm)
             yield pd.DataFrame({"query_id": pdf["query_id"],
                                 "neighbor_id": pdf["neighbor_id"], "score": s})

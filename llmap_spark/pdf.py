@@ -213,9 +213,16 @@ def _parse_cmap(body: bytes, cmap: dict[int, str]) -> None:
                 for k in range(hi - lo + 1):
                     if len(cmap) >= MAX_CMAP_ENTRIES:
                         return
-                    # scalar dst increments the LAST code point (spec rule)
-                    cmap[lo + k] = text0[:-1] + \
-                        chr(min(0x10FFFF, ord(text0[-1]) + k))
+                    # scalar dst increments the LAST code point (spec rule);
+                    # increments landing in the UTF-16 surrogate gap
+                    # (D800-DFFF) or past U+10FFFF map to U+FFFD — chr() of
+                    # a lone surrogate is storable in a Python str but
+                    # CRASHES at the Arrow/UTF-8 boundary, violating the
+                    # kernels-never-raise invariant
+                    cp = ord(text0[-1]) + k
+                    if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                        cp = 0xFFFD
+                    cmap[lo + k] = text0[:-1] + chr(cp)
 
 
 def _scan_literal(block: bytes, i: int) -> tuple[bytes, int]:

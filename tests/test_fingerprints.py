@@ -123,7 +123,9 @@ def test_density_bound(spark, docs):
 # -- content-defined chunking -------------------------------------------------
 
 def _norm_lower(t):
-    return " ".join(t.split()).lower()
+    # the kernel's ASCII-only fold (engine-portable; see cdc_chunks_udf)
+    from llmap_spark.kernel import _ASCII_LOWER
+    return " ".join(t.split()).translate(_ASCII_LOWER)
 
 
 def test_cdc_concat_invariant_and_bounds(spark, docs):

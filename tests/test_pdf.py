@@ -276,3 +276,16 @@ def test_cmap_partial_map_does_not_corrupt_ascii_hex():
     assert pdf._decode_string(b"AB", {0x4142: "Z"}) == "Z"
     assert pdf._decode_string(b"AB", {0x9999: "q"}) == "AB"
     assert pdf._decode_string(b"ABC", {0x4142: "Z"}) == "ABC"  # odd length
+
+
+def test_bfrange_into_surrogate_gap_stays_utf8_safe():
+    """A scalar bfrange whose increments land in the UTF-16 surrogate gap
+    (D800-DFFF) must map to U+FFFD, never a lone surrogate — chr() of a
+    surrogate survives in a Python str but CRASHES at the Arrow/UTF-8
+    boundary, violating the never-raise kernel invariant."""
+    m = {}
+    pdf._parse_cmap(b"beginbfrange\n<0000> <00ff> <D7A0>\nendbfrange", m)
+    assert len(m) == 256
+    for v in m.values():
+        assert all(not 0xD800 <= ord(ch) <= 0xDFFF for ch in v)
+    "".join(m.values()).encode("utf-8")  # must not raise
