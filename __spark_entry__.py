@@ -166,6 +166,21 @@ def _q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
 
 
+def _q_sample_seeded_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling that is ENGINE-PORTABLE (and therefore
+    hash-verified, unlike sample_seeded's engine-specific RNG): the
+    per-row coin is the first 8 hex digits of md5(seed:doc_id) — identical
+    in any engine — taken mod 10^4 against the rate. Reproducible across
+    runs, engines, AND partitionings (a property Spark's sample() lacks:
+    its RNG is seeded per partition index)."""
+    seed, rate_bp = 42, 500  # 5.00% in basis points
+    coin = F.conv(F.substring(F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 10_000
+    return _docs(spark, sf_dir).filter(coin < rate_bp) \
+        .select("doc_id", "lang")
+
+
 def _q_pipeline_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation chain (quality -> exact dedup
     -> LSH -> verify -> components -> keep list); see plans/training.py."""
@@ -933,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_per_region": _q_orders_per_region,
         "sample_deterministic": _q_sample_deterministic,
         "sample_seeded": _q_sample_seeded,
+        "sample_seeded_portable": _q_sample_seeded_portable,
         "explode_chunks": _q_explode_chunks,
         "union_passthrough": _q_union_passthrough,
         # similarity search
@@ -1400,6 +1416,11 @@ def oracle_sql() -> dict[str, str]:
         "sample_deterministic": """
             SELECT doc_id, lang FROM documents WHERE doc_id % 20 = 0
         """,
+        "sample_seeded_portable": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS varchar)), 1, 8))
+                  ::BIGINT % 10000 < 500
+        """,
         "explode_chunks": f"""
             WITH d AS (SELECT doc_id, {w_norm} AS w FROM documents),
             c AS (SELECT doc_id, w FROM d WHERE len(w) > 0 AND w[1] <> ''),
@@ -1514,5 +1535,6 @@ def oracle_sql() -> dict[str, str]:
         #   embedding_neardup_int ARE oracle-checked),
         #   embedding_neardup, embedding_lsh_neardup,
         #   pipeline_kept_docs (the planted twin pipeline_kept_planted IS
-        #   hash-checked), sample_seeded, multimodal_media_meta
+        #   hash-checked), sample_seeded (the md5-coin twin
+        #   sample_seeded_portable IS hash-checked), multimodal_media_meta
     }
