@@ -25,13 +25,20 @@ from pyspark.sql import DataFrame, functions as F
 def kept_documents(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    verify_jaccard: float = 0.5,
-                   cc_max_iter: int = 50) -> DataFrame:
+                   cc_max_iter: int = 50,
+                   cc_reliable: bool = False,
+                   cc_checkpoint_dir: str | None = None) -> DataFrame:
     """Curated keep-list: one row per surviving doc id.
 
     A doc survives iff it (1) passes the quality gate, (2) is its exact-hash
     cluster representative, and (3) is the minimum id of its near-dup
     component (or near-dups with nothing). Deterministic: every rule is
     integer arithmetic or a seeded hash.
+
+    cc_reliable=True runs the component iteration on RELIABLE cluster
+    checkpoints (cc_checkpoint_dir -> HDFS/S3) so an executor loss cannot
+    kill the fixpoint mid-flight — the right mode on a real cluster when
+    the corpus makes CC run longer than executor MTBF.
     """
     from llmap_spark.operators.dedup import (connected_components,
                                              exact_dedup,
@@ -57,7 +64,9 @@ def kept_documents(docs: DataFrame, id_col: str = "doc_id",
     cand = minhash_lsh_candidates(reps, id_col=id_col, text_col=text_col,
                                   materialize=True)
     verified = cand.filter(F.col("est_jaccard") >= verify_jaccard)
-    comp = connected_components(verified, max_iter=cc_max_iter)
+    comp = connected_components(verified, max_iter=cc_max_iter,
+                                reliable=cc_reliable,
+                                checkpoint_dir=cc_checkpoint_dir)
     near_dup_losers = (
         comp.filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias(id_col))

@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--cores", type=int, default=None,
                     help="local mode cores (ignored under a real master)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="reliable checkpoint location (HDFS/S3/local dir); "
+                         "when set, the component iteration uses cluster "
+                         "checkpoints that survive executor loss instead of "
+                         "localCheckpoint")
     args = ap.parse_args(argv)
 
     from pyspark import SparkConf
@@ -50,7 +55,9 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
     kept = kept_documents(docs, id_col=args.id_col, text_col=args.text_col,
-                          verify_jaccard=args.verify_jaccard)
+                          verify_jaccard=args.verify_jaccard,
+                          cc_reliable=args.checkpoint_dir is not None,
+                          cc_checkpoint_dir=args.checkpoint_dir)
     kept.write.mode("overwrite").parquet(args.output)
     n_kept = spark.read.parquet(args.output).count()
     print(json.dumps({
