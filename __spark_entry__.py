@@ -836,6 +836,24 @@ def _q_multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                                keep_cols=("url", "media_type"))
 
 
+def _q_multimodal_features_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-features plumbing (map_with_carry + byte-histogram
+    kernel), hash-verified by construction: single-symbol payloads of
+    planted length and byte value make every feature integer-exact —
+    entropy of a one-symbol distribution is EXACTLY 0 (no float-rounding
+    hazard), mean_byte is the symbol, nonzero_frac is 0 or 1000. Empty
+    payloads (doc_id%13=0) pin the zero row."""
+    from llmap_spark.functions.multimodal import with_media_features
+
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 13 = 0 THEN cast('' as binary) "
+               "ELSE cast(repeat(chr(65 + doc_id % 26), "
+               "cast(50 + doc_id % 200 as int)) as binary) END")
+        .alias("payload"))
+    return with_media_features(payloads, "payload", keep_cols=("doc_id",))
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.sessions import sessionize
 
@@ -965,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": _q_multimodal_image_meta,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "multimodal_media_meta": _q_multimodal_media_meta,
+        "multimodal_features_planted": _q_multimodal_features_planted,
     }
 
 
@@ -1238,6 +1257,17 @@ def oracle_sql() -> dict[str, str]:
               CAST((100 + doc_id % 400) // 4 AS int) AS frame_len
             FROM documents,
                  LATERAL unnest(generate_series(0, 3)) AS t(fi)
+        """,
+        "multimodal_features_planted": """
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                   ELSE 50 + doc_id % 200 END AS bigint) AS n_bytes,
+              CAST(0 AS int) AS entropy_x1000,
+              CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                   ELSE 65 + doc_id % 26 END AS int) AS mean_byte,
+              CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1000 END AS int)
+                AS nonzero_frac_x1000
+            FROM documents
         """,
         "multimodal_image_meta": """
             SELECT doc_id,
