@@ -166,6 +166,28 @@ def _q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
 
 
+def _q_extract_edge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row oracle for FIVE of the seven injected edge-page kinds
+    (empty, no_body, all_links, malformed, ws_only — the two left rows-only
+    are oversized, whose truncation point depends on escaped-byte
+    positions, and non_utf8, whose replacement-char layout depends on
+    per-char latin-1 encodability). Together with extract_t0_full +
+    extract_tpl_full this closes per-row hash coverage over the whole
+    corpus except those two kinds (whose STATUS the arithmetic
+    extract_status_counts oracle still pins). Derivations validated
+    against kernel.extract_page on every such page before the SQL was
+    written."""
+    from llmap_spark.plans.pipeline import ExtractConfig, extract
+
+    pages = _pages(spark, sf_dir).filter(
+        F.col("url").rlike("/edge/(empty|no_body|all_links|malformed|ws_only)/"))
+    ex = extract(pages, ExtractConfig())
+    return ex.select(
+        F.regexp_extract("url", r"/p(\d+)$", 1).cast("long").alias("page_i"),
+        F.regexp_extract("url", r"/edge/([a-z_]+)/", 1).alias("kind"),
+        "extracted_text", "n_blocks_kept", "n_blocks_total", "status")
+
+
 def _q_sample_seeded_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling that is ENGINE-PORTABLE (and therefore
     hash-verified, unlike sample_seeded's engine-specific RNG): the
@@ -926,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_status_counts": _q_extract_status_counts,
         "extract_t0_full": _q_extract_t0_full,
         "extract_tpl_full": _q_extract_tpl_full,
+        "extract_edge_cases": _q_extract_edge_cases,
         "extract_full": _q_extract_full,
         "pipeline_kept_docs": _q_pipeline_kept_docs,
         "pipeline_kept_planted": _q_pipeline_kept_planted,
@@ -1148,6 +1171,57 @@ def oracle_sql() -> dict[str, str]:
                    + len(s.seq) + 2 AS int) AS n_blocks_total,
               'ok' AS status
             FROM seqs s LEFT JOIN agg a ON a.doc_id = s.doc_id AND a.i = s.i
+        """,
+        "extract_edge_cases": """
+            -- edge page i (i % 1000 = kind residue) wraps doc i % ndocs;
+            -- derivations: empty html -> 'empty'; ws_only -> 0 blocks,
+            -- 'ok' (the decoded doc is non-blank TAG text, so the status
+            -- rule does not fire); no_body -> one <p> block gated by the
+            -- integer keep rule, status 'no_body'; all_links -> 20
+            -- link-dominated blocks, none candidate; malformed -> the doc
+            -- <p> block (keep-gated) plus the trailing
+            -- 'unclosed tags dangling' block (3 tokens: candidate but
+            -- never kept, and never rescued at the block-list edge)
+            WITH n AS (SELECT count(*) AS ndocs FROM documents),
+            feat AS (
+              SELECT doc_id,
+                trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS norm
+              FROM documents),
+            kinds AS (
+              SELECT unnest([7, 13, 17, 23, 37]) AS res,
+                     unnest(['empty','no_body','all_links','malformed','ws_only']) AS kind),
+            pages AS (
+              SELECT k.kind, (j.j * 1000 + k.res) AS i
+              FROM kinds k CROSS JOIN n,
+                   LATERAL unnest(generate_series(
+                     0, CAST((10 * n.ndocs - 1 - k.res) // 1000 AS int))) AS j(j)),
+            joined AS (
+              SELECT p.kind, p.i, f.norm
+              FROM pages p CROSS JOIN n
+              JOIN feat f ON f.doc_id = p.i % n.ndocs),
+            r AS (
+              SELECT kind, i, norm, CAST(length(norm) AS int) AS nc,
+                CASE WHEN length(norm) = 0 THEN 0
+                  ELSE CAST(length(norm) - length(replace(norm, ' ', ''))
+                       AS int) + 1 END AS nt
+              FROM joined),
+            rule AS (
+              SELECT *, (nc >= 16 AND nt >= 8
+                         AND nt >= 4 * ((nc + 79) // 80)) AS keep
+              FROM r)
+            SELECT CAST(i AS bigint) AS page_i, kind,
+              CASE WHEN kind IN ('no_body', 'malformed') AND keep
+                   THEN norm ELSE '' END AS extracted_text,
+              CAST(CASE WHEN kind IN ('no_body', 'malformed') AND keep
+                   THEN 1 ELSE 0 END AS int) AS n_blocks_kept,
+              CAST(CASE kind WHEN 'empty' THEN 0 WHEN 'ws_only' THEN 0
+                   WHEN 'all_links' THEN 20
+                   WHEN 'no_body' THEN CASE WHEN nc > 0 THEN 1 ELSE 0 END
+                   ELSE (CASE WHEN nc > 0 THEN 1 ELSE 0 END) + 1
+                   END AS int) AS n_blocks_total,
+              CASE kind WHEN 'empty' THEN 'empty'
+                   WHEN 'no_body' THEN 'no_body' ELSE 'ok' END AS status
+            FROM rule
         """,
         "extract_pdf_roundtrip": """
             -- coalesce BEFORE normalizing: the Spark side renders
@@ -1557,7 +1631,9 @@ def oracle_sql() -> dict[str, str]:
         # iterative / float-ANN / engine-specific-sampler / fake-decode
         # kernels; pytest carries their oracles instead — see tests/):
         #   extract_full (every non-edge page IS hash-checked via
-        #   extract_t0_full + extract_tpl_full; edge pages via the
+        #   extract_t0_full + extract_tpl_full, and 5 of 7 edge kinds via
+        #   extract_edge_cases; only oversized + non_utf8 rows lack per-row
+        #   text oracles, and their STATUSES are pinned by the
         #   extract_status_counts arithmetic oracle),
         #   dedup_minhash_lsh, dedup_simhash, dedup_components,
         #   doc_fingerprints, winnow_overlap, cdc_chunks,
