@@ -167,24 +167,27 @@ def _q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_edge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row oracle for FIVE of the seven injected edge-page kinds
-    (empty, no_body, all_links, malformed, ws_only — the two left rows-only
-    are oversized, whose truncation point depends on escaped-byte
-    positions, and non_utf8, whose replacement-char layout depends on
-    per-char latin-1 encodability). Together with extract_t0_full +
+    """Per-row oracle for SIX of the seven injected edge-page kinds
+    (empty, no_body, all_links, malformed, ws_only, non_utf8 — the one
+    left rows-only is oversized, whose mid-tag truncation tail depends on
+    byte positions within the repeated escaped paragraph). The non_utf8
+    derivation leans on the fixture texts being pure ASCII (verified), so
+    only the planted latin-1 prefix bytes decode to U+FFFD and the doc
+    body survives verbatim. Together with extract_t0_full +
     extract_tpl_full this closes per-row hash coverage over the whole
-    corpus except those two kinds (whose STATUS the arithmetic
+    corpus except oversized rows (whose STATUS the arithmetic
     extract_status_counts oracle still pins). Derivations validated
     against kernel.extract_page on every such page before the SQL was
     written."""
     from llmap_spark.plans.pipeline import ExtractConfig, extract
 
     pages = _pages(spark, sf_dir).filter(
-        F.col("url").rlike("/edge/(empty|no_body|all_links|malformed|ws_only)/"))
+        F.col("url").rlike(
+            "/edge/(empty|no_body|all_links|malformed|ws_only|non_utf8)/"))
     ex = extract(pages, ExtractConfig())
     return ex.select(
         F.regexp_extract("url", r"/p(\d+)$", 1).cast("long").alias("page_i"),
-        F.regexp_extract("url", r"/edge/([a-z_]+)/", 1).alias("kind"),
+        F.regexp_extract("url", r"/edge/([a-z0-9_]+)/", 1).alias("kind"),
         "extracted_text", "n_blocks_kept", "n_blocks_total", "status")
 
 
@@ -1188,8 +1191,9 @@ def oracle_sql() -> dict[str, str]:
                 trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS norm
               FROM documents),
             kinds AS (
-              SELECT unnest([7, 13, 17, 23, 37]) AS res,
-                     unnest(['empty','no_body','all_links','malformed','ws_only']) AS kind),
+              SELECT unnest([7, 13, 17, 23, 31, 37]) AS res,
+                     unnest(['empty','no_body','all_links','malformed',
+                             'non_utf8','ws_only']) AS kind),
             pages AS (
               SELECT k.kind, (j.j * 1000 + k.res) AS i
               FROM kinds k CROSS JOIN n,
@@ -1200,27 +1204,44 @@ def oracle_sql() -> dict[str, str]:
               FROM pages p CROSS JOIN n
               JOIN feat f ON f.doc_id = p.i % n.ndocs),
             r AS (
-              SELECT kind, i, norm, CAST(length(norm) AS int) AS nc,
-                CASE WHEN length(norm) = 0 THEN 0
-                  ELSE CAST(length(norm) - length(replace(norm, ' ', ''))
-                       AS int) + 1 END AS nt
+              -- btext = the single content block's normalized text; for
+              -- non_utf8 that is the planted latin-1 prefix (each invalid
+              -- byte -> one U+FFFD; fixtures are pure ASCII so the doc
+              -- body survives verbatim) followed by the doc text
+              SELECT kind, i, norm,
+                CASE WHEN kind = 'non_utf8'
+                     THEN 'caf' || chr(65533) || ' na' || chr(65533)
+                          || 've r' || chr(65533) || 'sum' || chr(65533)
+                          || ' latin-1 bytes'
+                          || CASE WHEN norm = '' THEN ''
+                             ELSE ' ' || norm END
+                     ELSE norm END AS btext
               FROM joined),
+            r2 AS (
+              SELECT *, CAST(length(btext) AS int) AS nc,
+                CASE WHEN length(btext) = 0 THEN 0
+                  ELSE CAST(length(btext) - length(replace(btext, ' ', ''))
+                       AS int) + 1 END AS nt
+              FROM r),
             rule AS (
               SELECT *, (nc >= 16 AND nt >= 8
                          AND nt >= 4 * ((nc + 79) // 80)) AS keep
-              FROM r)
+              FROM r2)
             SELECT CAST(i AS bigint) AS page_i, kind,
-              CASE WHEN kind IN ('no_body', 'malformed') AND keep
-                   THEN norm ELSE '' END AS extracted_text,
-              CAST(CASE WHEN kind IN ('no_body', 'malformed') AND keep
-                   THEN 1 ELSE 0 END AS int) AS n_blocks_kept,
+              CASE WHEN kind IN ('no_body', 'malformed', 'non_utf8') AND keep
+                   THEN btext ELSE '' END AS extracted_text,
+              CAST(CASE WHEN kind IN ('no_body', 'malformed', 'non_utf8')
+                        AND keep THEN 1 ELSE 0 END AS int) AS n_blocks_kept,
               CAST(CASE kind WHEN 'empty' THEN 0 WHEN 'ws_only' THEN 0
-                   WHEN 'all_links' THEN 20
-                   WHEN 'no_body' THEN CASE WHEN nc > 0 THEN 1 ELSE 0 END
-                   ELSE (CASE WHEN nc > 0 THEN 1 ELSE 0 END) + 1
+                   WHEN 'all_links' THEN 20 WHEN 'non_utf8' THEN 1
+                   WHEN 'no_body' THEN CASE WHEN length(norm) > 0
+                                       THEN 1 ELSE 0 END
+                   ELSE (CASE WHEN length(norm) > 0 THEN 1 ELSE 0 END) + 1
                    END AS int) AS n_blocks_total,
               CASE kind WHEN 'empty' THEN 'empty'
-                   WHEN 'no_body' THEN 'no_body' ELSE 'ok' END AS status
+                   WHEN 'no_body' THEN 'no_body'
+                   WHEN 'non_utf8' THEN 'decode_replaced'
+                   ELSE 'ok' END AS status
             FROM rule
         """,
         "extract_pdf_roundtrip": """
