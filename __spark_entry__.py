@@ -167,23 +167,21 @@ def _q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_edge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row oracle for SIX of the seven injected edge-page kinds
-    (empty, no_body, all_links, malformed, ws_only, non_utf8 — the one
-    left rows-only is oversized, whose mid-tag truncation tail depends on
-    byte positions within the repeated escaped paragraph). The non_utf8
-    derivation leans on the fixture texts being pure ASCII (verified), so
-    only the planted latin-1 prefix bytes decode to U+FFFD and the doc
-    body survives verbatim. Together with extract_t0_full +
-    extract_tpl_full this closes per-row hash coverage over the whole
-    corpus except oversized rows (whose STATUS the arithmetic
-    extract_status_counts oracle still pins). Derivations validated
-    against kernel.extract_page on every such page before the SQL was
-    written."""
+    """Per-row oracle for ALL SEVEN injected edge-page kinds. The
+    derivations lean on the fixture texts being pure ASCII with no &<>
+    (both verified), so escaping is identity and char offsets equal byte
+    offsets: non_utf8's planted latin-1 prefix bytes decode to U+FFFD with
+    the doc body verbatim, and oversized's 1 MB truncation point — full
+    paragraph count, the partial-tail block (including cuts inside the
+    '<p>'/'</p>' markup, which the tolerant scanner turns into literal
+    '<'/'</' text), the 500 KB stitched-text cap — is pure arithmetic in
+    the raw text length. Together with extract_t0_full + extract_tpl_full
+    this closes per-row hash coverage over the ENTIRE corpus. Derivations
+    validated against kernel.extract_page on every edge page before the
+    SQL was written."""
     from llmap_spark.plans.pipeline import ExtractConfig, extract
 
-    pages = _pages(spark, sf_dir).filter(
-        F.col("url").rlike(
-            "/edge/(empty|no_body|all_links|malformed|ws_only|non_utf8)/"))
+    pages = _pages(spark, sf_dir).filter(F.col("url").rlike("/edge/"))
     ex = extract(pages, ExtractConfig())
     return ex.select(
         F.regexp_extract("url", r"/p(\d+)$", 1).cast("long").alias("page_i"),
@@ -1226,7 +1224,59 @@ def oracle_sql() -> dict[str, str]:
             rule AS (
               SELECT *, (nc >= 16 AND nt >= 8
                          AND nt >= 4 * ((nc + 79) // 80)) AS keep
-              FROM r2)
+              FROM r2),
+            -- oversized (residue 29): '<html><body>' + N repeats of
+            -- '<p>' raw_text ' oversized filler paragraph repeated.</p>'
+            -- truncated at the 1,000,000-byte cap. k_full complete
+            -- paragraph blocks of text T, plus a tail block decided by
+            -- the remainder r within the next paragraph (cut inside
+            -- '<p>' markup -> no block or a literal '<'; inside the body
+            -- -> normalized prefix; inside '</p>' -> T, T||'<' or
+            -- T||'</' per the tolerant scanner); stitched text capped at
+            -- 500,000 chars, kept-count NOT capped
+            ov AS (
+              SELECT (j.j * 1000 + 29) AS i,
+                coalesce(f2.text, '') AS raw,
+                trim(regexp_replace(coalesce(f2.text, '')
+                  || ' oversized filler paragraph repeated.',
+                  '\\s+', ' ', 'g')) AS T,
+                length(coalesce(f2.text, '')) + 37 AS lb,
+                length(coalesce(f2.text, '')) + 44 AS L
+              FROM n, LATERAL unnest(generate_series(
+                     0, CAST((10 * n.ndocs - 1 - 29) // 1000 AS int))) AS j(j)
+              CROSS JOIN n n2
+              JOIN documents f2 ON f2.doc_id = (j.j * 1000 + 29) % n2.ndocs),
+            ov2 AS (
+              SELECT *, (999988 // L) AS k_full, (999988 % L) AS r
+              FROM ov),
+            ov3 AS (
+              SELECT *,
+                CASE WHEN r = 1 THEN '<'
+                     WHEN r > 3 AND r <= 3 + lb THEN trim(regexp_replace(
+                       substr(raw || ' oversized filler paragraph repeated.',
+                              1, CAST(r - 3 AS int)), '\\s+', ' ', 'g'))
+                     WHEN r = 3 + lb + 1 THEN T || '<'
+                     WHEN r = 3 + lb + 2 THEN T || '</'
+                     WHEN r = 3 + lb + 3 THEN T
+                     ELSE '' END AS tail
+              FROM ov2),
+            ov4 AS (
+              SELECT *,
+                (length(T) >= 16
+                 AND (length(T) - length(replace(T, ' ', '')) + 1) >= 8
+                 AND (length(T) - length(replace(T, ' ', '')) + 1)
+                     >= 4 * ((length(T) + 79) // 80)) AS keep_t,
+                (tail <> '' AND length(tail) >= 16
+                 AND (length(tail) - length(replace(tail, ' ', '')) + 1) >= 8
+                 AND (length(tail) - length(replace(tail, ' ', '')) + 1)
+                     >= 4 * ((length(tail) + 79) // 80)) AS keep_tail
+              FROM ov3),
+            ov5 AS (
+              SELECT *,
+                (CASE WHEN keep_t THEN k_full * (length(T) + 2) ELSE 0 END
+                 + CASE WHEN keep_tail THEN length(tail) + 2 ELSE 0 END - 2)
+                AS joined_len
+              FROM ov4)
             SELECT CAST(i AS bigint) AS page_i, kind,
               CASE WHEN kind IN ('no_body', 'malformed', 'non_utf8') AND keep
                    THEN btext ELSE '' END AS extracted_text,
@@ -1243,6 +1293,24 @@ def oracle_sql() -> dict[str, str]:
                    WHEN 'non_utf8' THEN 'decode_replaced'
                    ELSE 'ok' END AS status
             FROM rule
+            UNION ALL
+            SELECT CAST(i AS bigint) AS page_i, 'oversized' AS kind,
+              CASE WHEN joined_len < 0 THEN ''
+                ELSE left(
+                  left(CASE WHEN keep_t
+                            THEN repeat(T || chr(10) || chr(10), k_full)
+                            ELSE '' END
+                       || CASE WHEN keep_tail
+                               THEN tail || chr(10) || chr(10) ELSE '' END,
+                       CAST(joined_len AS int)),
+                  500000) END AS extracted_text,
+              CAST(CASE WHEN keep_t THEN k_full ELSE 0 END
+                   + CASE WHEN keep_tail THEN 1 ELSE 0 END AS int)
+                AS n_blocks_kept,
+              CAST(k_full + CASE WHEN tail <> '' THEN 1 ELSE 0 END AS int)
+                AS n_blocks_total,
+              'truncated' AS status
+            FROM ov5
         """,
         "extract_pdf_roundtrip": """
             -- coalesce BEFORE normalizing: the Spark side renders
@@ -1651,11 +1719,11 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (genuinely non-SQL-expressible: hash-signature /
         # iterative / float-ANN / engine-specific-sampler / fake-decode
         # kernels; pytest carries their oracles instead — see tests/):
-        #   extract_full (every non-edge page IS hash-checked via
-        #   extract_t0_full + extract_tpl_full, and 5 of 7 edge kinds via
-        #   extract_edge_cases; only oversized + non_utf8 rows lack per-row
-        #   text oracles, and their STATUSES are pinned by the
-        #   extract_status_counts arithmetic oracle),
+        #   extract_full (EVERY corpus row is per-row hash-checked via
+        #   extract_t0_full + extract_tpl_full + extract_edge_cases — all
+        #   8 templates and all 7 edge kinds; this combined row stays
+        #   rows-only merely because its one-query union shape carries no
+        #   extra information),
         #   dedup_minhash_lsh, dedup_simhash, dedup_components,
         #   doc_fingerprints, winnow_overlap, cdc_chunks,
         #   ann_brute_force, ann_ivf (integer twins embedding_topk_int /
