@@ -56,6 +56,12 @@ def test_t0_filter_reaches_the_scan(spark):
         assert "Contains(url" in scan  # pushed into DataFilters
         pre_udf = plan[plan.index("MapInArrow"):]
         assert "Contains(url" in pre_udf  # i.e. below the UDF, not above
+    # the rlike-filtered siblings: RLike is not a parquet-pushable
+    # predicate, but it must still sit BELOW the extraction UDF
+    for q in ("extract_tpl_full", "extract_edge_cases"):
+        plan = _plan(e.queries()[q](spark, "/root/testdata/sf0.001"))
+        pre_udf = plan[plan.index("MapInArrow"):]
+        assert "RLIKE(url" in pre_udf
 
 
 def test_winnow_overlap_single_udf_pass(spark):
