@@ -435,12 +435,7 @@ def _q_embedding_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-hot dimension, not the family id."""
     from llmap_spark.operators.similarity import embedding_lsh_neardup
 
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.expr("transform(sequence(0, 63), "
-               "j -> CASE WHEN j = cast((vec_id DIV 4) % 64 as int) "
-               "THEN cast(1.0 as float) ELSE cast(0.0 as float) END)")
-        .alias("embedding"))
+    emb = _one_hot_emb(spark, sf_dir)
     # max_bucket=None: the oracle assumes LOSSLESS recall, and the planted
     # construction intentionally piles identical sketches into shared
     # buckets (n/64 per bucket) — the default cap would drop ALL planted
@@ -741,6 +736,47 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    threshold=0.9, k=5).select("id_a", "id_b")
 
 
+def _one_hot_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot float unit vectors on dimension (vec_id div 4) % 64 —
+    cosines are EXACTLY 1.0 (shared dim) or 0.0, so top-k ranking under
+    (score desc, neighbor asc) is pure arithmetic (shared by the planted
+    ANN/LSH oracles)."""
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(sequence(0, 63), "
+               "j -> CASE WHEN j = cast((vec_id DIV 4) % 64 as int) "
+               "THEN cast(1.0 as float) ELSE cast(0.0 as float) END)")
+        .alias("embedding"))
+
+
+def _q_ann_brute_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brute-force operator itself (broadcast blocks, partial top-k,
+    window merge), hash-verified: one-hot vectors make every score exactly
+    1.0 or 0.0, so the top-5 per query is same-dimension neighbors
+    ascending, then zero-score neighbors ascending — derivable in SQL.
+    (embedding_topk_int verifies exact top-k MATH via a crossJoin twin;
+    this row verifies the OPERATOR's plan.)"""
+    from llmap_spark.operators.similarity import brute_force_topk
+
+    e = _one_hot_emb(spark, sf_dir)
+    return brute_force_topk(spark, e, e, k=5).select(
+        "query_id", "neighbor_id", "rank")
+
+
+def _q_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF operator (seeded sample -> k-means -> assign -> probe ->
+    co-partitioned score), hash-verified: with a single centroid every
+    probe sees the whole corpus, so IVF degenerates to exact top-k over
+    the one-hot construction — the same arithmetic oracle as
+    ann_brute_planted while still exercising the full assign/probe/score
+    machinery."""
+    from llmap_spark.operators.similarity import ivf_topk
+
+    e = _one_hot_emb(spark, sf_dir)
+    return ivf_topk(spark, e, e, k=5, n_centroids=1, nprobe=1).select(
+        "query_id", "neighbor_id", "rank")
+
+
 def _q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PDF text extraction, driver-verified: documents are rendered
     into minimal PDFs (deterministically varied Tj/TJ/hex string codings and
@@ -997,7 +1033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_int": _q_embedding_topk_int,
         "embedding_neardup_int": _q_embedding_neardup_int,
         "ann_brute_force": _q_ann_brute_force,
+        "ann_brute_planted": _q_ann_brute_planted,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_planted": _q_ann_ivf_planted,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_lsh_neardup": _q_embedding_lsh_neardup,
         "embedding_lsh_planted": _q_embedding_lsh_planted,
@@ -1380,6 +1418,36 @@ def oracle_sql() -> dict[str, str]:
               CAST(length(trim(regexp_replace(coalesce(text, ''),
                 '\\s+', ' ', 'g'))) AS bigint) AS n_chars_sum
             FROM documents
+        """,
+        "ann_brute_planted": """
+            -- exact 1.0/0.0 cosines: top-5 = same-dim neighbors ascending,
+            -- then zero-score neighbors ascending (score desc, id asc)
+            WITH m AS (SELECT vec_id, (vec_id // 4) % 64 AS dim
+                       FROM embeddings),
+            p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                    CASE WHEN a.dim = b.dim THEN 1 ELSE 0 END AS s
+                  FROM m a, m b WHERE a.vec_id <> b.vec_id),
+            r AS (SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY s DESC, neighbor_id ASC) AS rnk
+                  FROM p)
+            SELECT query_id, neighbor_id, CAST(rnk AS int) AS rank
+            FROM r WHERE rnk <= 5
+        """,
+        "ann_ivf_planted": """
+            -- single centroid -> IVF degenerates to exact top-k; same
+            -- arithmetic as ann_brute_planted
+            WITH m AS (SELECT vec_id, (vec_id // 4) % 64 AS dim
+                       FROM embeddings),
+            p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                    CASE WHEN a.dim = b.dim THEN 1 ELSE 0 END AS s
+                  FROM m a, m b WHERE a.vec_id <> b.vec_id),
+            r AS (SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY s DESC, neighbor_id ASC) AS rnk
+                  FROM p)
+            SELECT query_id, neighbor_id, CAST(rnk AS int) AS rank
+            FROM r WHERE rnk <= 5
         """,
         "embedding_lsh_planted": """
             -- near-dup pairs = vectors one-hot on the SAME dimension

@@ -20,8 +20,11 @@ cosine — at different scale points:
                     ~nprobe/n_centroids of the corpus.
 
 Scores are float64 end-to-end with a fixed summation order per pair
-(single dot product), and ties break by neighbor id, so results are
-deterministic run-to-run. pytest checks ivf recall against brute force.
+(single dot product), and ties break by neighbor id EVERYWHERE — including
+inside the brute-force per-partition partial top-k (a total lexsort order,
+not argpartition: ties straddling the partial cutoff would otherwise make
+the result depend on partitioning) — so results are deterministic across
+runs AND partitionings. pytest checks ivf recall against brute force.
 """
 
 from __future__ import annotations
@@ -114,7 +117,12 @@ def _block_partials(corpus_sel: DataFrame, block: list, kk: int,
                 sims = np.vstack([sims_b, best_s])
                 nb = np.vstack([nb_b, best_n])
             take = min(kk, sims.shape[0])
-            idx = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, nq)
+            # TOTAL order (score desc, neighbor asc), not argpartition:
+            # ties straddling the per-partition cutoff would otherwise
+            # survive arbitrarily, making the global result depend on
+            # partitioning (caught by the planted one-hot oracle, where
+            # zero-score ties are everywhere)
+            idx = np.lexsort((nb, -sims), axis=0)[:take]  # (take, nq)
             cols = np.arange(nq)[None, :]
             best_s = sims[idx, cols]
             best_n = nb[idx, cols]
