@@ -552,7 +552,11 @@ def _q_collate_binpack_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_group_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference group-by-file combine (llmap.py:204-215): per-key ordered
-    concatenation — determinism-by-sorting preserved."""
+    concatenation — determinism-by-sorting preserved. Scale note: the
+    per-key collect_list payload is bounded by per-user event counts
+    (same contract as the reference's per-file combine); a key whose
+    payload could exceed task memory wants the binpack/window family
+    (collate_binpack_bucketed) instead of concatenation."""
     return (
         _events(spark, sf_dir).groupBy("user_id")
         .agg(F.expr(
