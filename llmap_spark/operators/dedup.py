@@ -43,11 +43,16 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     the same fingerprint) and `is_dup`. Exactly one shuffle (window over
     fingerprint); AQE handles residual skew."""
     out = fingerprint(df, text_col)
-    w = Window.partitionBy("fingerprint")
-    # NULL text -> NULL fingerprint = UNKNOWN content, never a duplicate:
-    # without the guard the window groups every null-text row into one
-    # partition and flags all but one as dups of each other (the same
-    # shared-sentinel hazard the MinHash/winnow operators NULL out)
+    # NULL text -> NULL fingerprint = UNKNOWN content, never a duplicate.
+    # The window key coalesces NULL fingerprints to a per-row synthetic key
+    # (not just guarding the result with when()): partitioning by the raw
+    # fingerprint would still SHUFFLE every null-text row into one hot
+    # partition at scale — the min would be computed over the whole group
+    # and then discarded, the straggler/OOM paid anyway.
+    wkey = F.coalesce(
+        F.col("fingerprint"),
+        F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(wkey)
     rep = F.when(F.col("fingerprint").isNotNull(),
                  F.min(id_col).over(w)).otherwise(F.col(id_col))
     return (
@@ -331,9 +336,12 @@ def hamming_band_pairs(s: DataFrame, max_hamming: int,
     bands = []
     off = 0
     for k, w in enumerate(widths):
+        # w == 64 (max_hamming=0, one band): (1<<64)-1 overflows a signed
+        # long literal; -1 is the same all-bits mask in two's complement
+        mask = F.lit((1 << w) - 1 if w < 64 else -1)
         bands.append(F.struct(
             F.lit(k).alias("band"),
-            F.shiftrightunsigned("sh", off).bitwiseAND(F.lit((1 << w) - 1)).alias("key")))
+            F.shiftrightunsigned("sh", off).bitwiseAND(mask).alias("key")))
         off += w
     e = s.select("_id", "sh", F.explode(F.array(*bands)).alias("bk")) \
          .select("_id", "sh", "bk.band", "bk.key")
@@ -369,18 +377,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     At scale this is the verify stage after LSH; on its own it is
     quadratic in bucket df and should follow a candidate filter.
     """
+    from llmap_spark.operators.textstats import word_ngrams
+
     words = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-    # NB: sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so short texts
-    # need the explicit size guard rather than relying on an empty sequence.
-    gram_body = "concat_ws(' ', " + ", ".join(f"_w[i-1+{j}]" for j in range(n)) + ")"
-    grams = F.expr(
-        f"case when size(_w) >= {n} then "
-        f"transform(sequence(1, size(_w) - {n - 1}), i -> {gram_body}) "
-        "else array() end"
-    )
+    # the shared constructor carries the sequence(1,0)-descending guard
+    # and the blank-doc '' gram guard (critical at n=1: every blank doc
+    # would share the '' gram and pair with every other blank doc — the
+    # shared-sentinel hazard plus an uncapped quadratic join)
     g = (
         df.select(F.col(id_col).alias("_id"), words.alias("_w"))
-        .select("_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        .select("_id",
+                F.explode(F.array_distinct(word_ngrams("_w", n))).alias("gram"))
     )
     sizes = g.groupBy("_id").agg(F.count("*").alias("sz"))
     inter = (

@@ -39,8 +39,11 @@ def host_of(url: Column) -> Column:
     """Host part of an absolute http(s) url; '' for relative links.
     Scheme matching is case-insensitive (RFC 3986; 'HTTP://HOST' is valid
     and common on legacy pages) and the host is lowercased (DNS names are
-    case-insensitive) so edges canonicalize."""
-    return F.lower(F.regexp_extract(url, r"(?i)^https?://([^/]+)", 1))
+    case-insensitive) so edges canonicalize. The host stops at '/', '?'
+    OR '#': slash-less urls with a query ('http://h?x=1') are common and
+    `[^/]+` would leak the query into the host key, splitting one real
+    host into many graph nodes."""
+    return F.lower(F.regexp_extract(url, r"(?i)^https?://([^/?#]+)", 1))
 
 
 def canonical_url(url: Column) -> Column:
@@ -60,9 +63,13 @@ def canonical_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(u, r"(?i)^([a-z][a-z0-9+.-]*)://", 1))
     hostport = F.lower(
         F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    # strip a bare trailing '?' only when it is the query SEPARATOR with an
+    # empty query (i.e. the only '?' in rest): '/p??' has query '?', and
+    # stripping its last char would both mutate a real query and break
+    # idempotency (canonical(canonical(u)) != canonical(u))
     rest = F.regexp_replace(
         F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+(.*)$", 1),
-        r"\?$", "")
+        r"^([^?]*)\?$", "$1")
     # (:PORT)+$ not :PORT$: a malformed double port ('h:443:443') must
     # canonicalize in ONE application or the key is not idempotent
     # (pinned by test_canonical_url_idempotent)
@@ -90,7 +97,7 @@ def link_host_edges(pages: DataFrame, url_col: str = "url",
     l = F.col("_l")
     non_http_scheme = (l.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
                        & ~l.rlike(r"(?i)^https?://"))
-    pr_host = F.lower(F.regexp_extract(l, r"^//([^/]+)", 1))
+    pr_host = F.lower(F.regexp_extract(l, r"^//([^/?#]+)", 1))
     dst = (F.when(host_of(l) != "", host_of(l))
            .when(pr_host != "", pr_host)
            .otherwise(F.col("src_host")))

@@ -397,7 +397,9 @@ def embedding_lsh_neardup(emb: DataFrame,
         cand.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b",
                 F.floor(cos * F.lit(1_000_000)).cast("long").alias("cos_x1000000"))
-        .filter(F.col("cos_x1000000") >= int(threshold * 1_000_000))
+        # round(), not int(): float truncation (0.29*1e6 = 289999.999...)
+        # would admit pairs up to 1e-6 BELOW the requested threshold
+        .filter(F.col("cos_x1000000") >= int(round(threshold * 1_000_000)))
     )
 
 

@@ -100,6 +100,25 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_ngrams(words_col: str, n: int):
+    """Word n-gram array over a pre-split words column (JVM transform
+    expression) — the SINGLE n-gram constructor shared by
+    repetition_features and dedup.ngram_jaccard_pairs (two hand-maintained
+    copies drifted once; a fix to one silently missed the other).
+
+    Gotchas baked in: sequence(1, 0) yields a DESCENDING [1, 0] in Spark,
+    so short texts need the explicit size guard rather than an empty
+    sequence; and split('') is [''], so at n=1 every blank/NULL-text doc
+    would otherwise share the '' gram (the shared-sentinel hazard) — the
+    `[0] <> ''` guard is a no-op for n >= 2 (size 1 < n already)."""
+    gram_body = "concat_ws(' ', " + ", ".join(
+        f"{words_col}[i-1+{j}]" for j in range(n)) + ")"
+    return F.expr(
+        f"case when size({words_col}) >= {n} and {words_col}[0] <> '' then "
+        f"transform(sequence(1, size({words_col}) - {n - 1}), i -> {gram_body}) "
+        "else array() end")
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals: duplicate word-n-gram fractions
     (n = 2, 3) as x1000 integers — high values mark machine-generated /
@@ -109,13 +128,7 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     squeezed = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     df = df.withColumn("_w", F.split(squeezed, " "))
     for n in (2, 3):
-        gram_body = "concat_ws(' ', " + ", ".join(
-            f"_w[i-1+{j}]" for j in range(n)) + ")"
-        grams = F.expr(
-            f"case when size(_w) >= {n} then "
-            f"transform(sequence(1, size(_w) - {n - 1}), i -> {gram_body}) "
-            "else array() end")
-        df = df.withColumn(f"_g{n}", grams).withColumn(
+        df = df.withColumn(f"_g{n}", word_ngrams("_w", n)).withColumn(
             f"dup_{n}gram_x1000",
             F.when(F.size(f"_g{n}") > 0,
                    F.floor(F.lit(1000)

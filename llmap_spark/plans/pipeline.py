@@ -79,7 +79,12 @@ def _with_salt(df: DataFrame, cfg: ExtractConfig) -> DataFrame:
     plain url-hash already spreads rows; the salt demonstrably cannot change
     results (per-row map) — tests prove output identity with/without it.
     """
-    host = F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    # reuse links.host_of (case-insensitive scheme, slash-optional, host
+    # stops at /?#): the previous inline regex required a trailing slash
+    # and lowercase scheme, so slash-less or 'HTTP://' fetches on hot hosts
+    # silently fell out of the skew guard — exactly the rows it exists for
+    from llmap_spark.operators.links import host_of
+    host = host_of(F.col("url"))
     salt = F.when(
         host.isin(*cfg.hot_hosts),
         F.pmod(F.xxhash64("url", F.lit("salt")), F.lit(cfg.n_salts)).cast("int"),

@@ -566,6 +566,10 @@ def test_canonical_url_idempotent(spark):
         "https://Host:8443/a?x=1&y=2", "http://h/a?", "FTP://Host:80/x",
         "relative/path#x", "", "HtTpS://A.B.C:443:443/weird",
         "http://h:80:80/", "https://h/p#a#b", "mailto:x@y.z",
+        # a trailing '?' that is NOT the (empty-query) separator must not
+        # be stripped: doing so both mutated a real query and broke
+        # idempotency (review-found)
+        "http://h/p??", "http://h/p?a=1?",
     ]
     df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
                                "i long, u string")
@@ -802,3 +806,45 @@ def test_as_matrix_modal_dim_survives_ragged_leading_row():
     assert m.shape == (4, 3)
     assert np.allclose(m[0], 0.0)           # the ragged row zeroes
     assert np.allclose(m[1:], np.asarray(rows[1:]))  # the rest survive
+
+
+def test_host_of_stops_at_query_and_fragment(spark):
+    """Slash-less urls with a query/fragment must not leak it into the
+    host key — 'http://h?x=1' previously produced host 'h?x=1', splitting
+    one real host into many graph nodes (review-found)."""
+    from llmap_spark.operators.links import host_of
+
+    rows = [(1, "http://example.com?x=1"), (2, "http://example.com#top"),
+            (3, "HTTPS://Example.COM"), (4, "http://example.com/a?x=1")]
+    df = spark.createDataFrame(rows, "i long, u string")
+    got = {r.i: r.h for r in df.select("i", host_of(F.col("u")).alias("h")).collect()}
+    assert got == {1: "example.com", 2: "example.com",
+                   3: "example.com", 4: "example.com"}
+
+
+def test_hamming_band_pairs_radius_zero(spark):
+    """max_hamming=0 (one 64-bit band) is in the documented range and must
+    work: the (1<<64)-1 mask literal overflowed a signed long
+    (review-found). Radius 0 == exact sketch equality."""
+    from llmap_spark.operators.dedup import hamming_band_pairs
+
+    rows = [(1, 5), (2, 5), (3, 7), (4, -9223372036854775808)]
+    s = spark.createDataFrame(rows, "_id long, sh long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in hamming_band_pairs(s, 0).collect()}
+    assert got == {(1, 2, 0)}
+
+
+def test_ngram_jaccard_blank_docs_never_pair(spark):
+    """At n=1, split('') is [''] — blank docs previously shared the ''
+    gram and paired with every other blank doc at Jaccard 1, an uncapped
+    quadratic join (review-found)."""
+    from llmap_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(1, ""), (2, "   "), (3, ""), (4, "real words here"),
+            (5, "real words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in
+           ngram_jaccard_pairs(df, n=1, threshold_num=1,
+                               threshold_den=2).collect()}
+    assert got == {(4, 5)}
