@@ -24,7 +24,7 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-CORPUS_VERSION = "1.3.0"
+CORPUS_VERSION = "1.3.1"
 SEED = 42
 EPOCH = datetime(2025, 1, 1)
 
@@ -72,7 +72,7 @@ def _sidebar(n_ads: int) -> str:
     return f'<aside><h3>Trending</h3>{ads}<a href="/more">More stories</a></aside>'
 
 
-def _footer(rng: random.Random) -> str:
+def _footer() -> str:
     links = " | ".join(f'<a href="/{w}">{w}</a>' for w in ("privacy", "terms", "rss", "jobs"))
     return f"<footer><p>{links}</p><p>&copy; 2025 Example Media Group</p></footer>"
 
@@ -119,12 +119,12 @@ def _page_html(i: int, tpl: int, doc_text: str, rng: random.Random) -> bytes:
     parts.append(f"<main><article>{main}</article></main>")
     if tpl % 3 == 2:
         parts.append(_sidebar(2 + i % 3))
-    parts.append(_footer(rng))
+    parts.append(_footer())
     parts.append("</body></html>")
     return "".join(parts).encode("utf-8")
 
 
-def _edge_html(kind: str, doc_text: str, rng: random.Random) -> bytes:
+def _edge_html(kind: str, doc_text: str) -> bytes:
     esc = _htmlmod.escape
     if kind == "empty":
         return b""
@@ -175,7 +175,6 @@ def generate_pages(sf_dir: str, out_path: str, pages_per_doc: int | None = None,
                               PAGES_SCHEMA, compression="zstd")
     written_in_file = 0
     rows: list[dict] = []
-    langpool = ["en", "de", "fr", "es"]
 
     def _flush(w, pending):
         if pending:
@@ -187,13 +186,17 @@ def generate_pages(sf_dir: str, out_path: str, pages_per_doc: int | None = None,
             rng = random.Random(SEED * 1_000_003 + i)
             d = i % ndocs
             doc_text = texts[d] or ""
-            lang = langs[d] or langpool[i % 4]
+            # page lang == doc lang EXACTLY (null for null): a page-index-
+            # dependent fallback would silently drift every lang-selecting
+            # oracle (extract_t0_full/extract_tpl_full read documents.lang)
+            # the moment a fixture tier ships a null-lang doc
+            lang = langs[d]
             tpl = (i // ndocs) % N_TEMPLATES
             kind = EDGE_RESIDUES.get(i % 1000)
             host = _host(rng)
             if kind is not None:
                 url = f"https://{host}/edge/{kind}/p{i}"
-                html = _edge_html(kind, doc_text, rng)
+                html = _edge_html(kind, doc_text)
             else:
                 url = f"https://{host}/t{tpl}/d{doc_ids[d]}/p{i}"
                 html = _page_html(i, tpl, doc_text, rng)
@@ -223,7 +226,15 @@ def generate_pages(sf_dir: str, out_path: str, pages_per_doc: int | None = None,
 
 def pages_path_for(sf_dir: str, cache_root: str = "/root/repo/.cache/pages",
                    pages_per_doc: int | None = None) -> str:
-    """Memoized generation: one parquet per (sf tier, corpus version)."""
+    """Memoized generation: one parquet per (sf tier, corpus version).
+
+    Concurrency-safe the same way the snapshot sink is: generation writes
+    into a per-process tmp directory and commits with an atomic rename —
+    two cold-cache processes (e.g. pytest and bench launched together)
+    previously interleaved writes into the SAME part files."""
+    import os
+    import shutil
+
     tier = Path(sf_dir).name or "sf"
     tag = f"{tier}-v{CORPUS_VERSION}" + (
         f"-ppd{pages_per_doc}" if pages_per_doc is not None else "")
@@ -231,6 +242,15 @@ def pages_path_for(sf_dir: str, cache_root: str = "/root/repo/.cache/pages",
     marker = out.with_suffix(".parquet.done")
     if marker.exists() and out.exists():
         return str(out)
-    generate_pages(sf_dir, str(out), pages_per_doc=pages_per_doc)
+    if out.exists():  # un-markered partial from a crashed run
+        shutil.rmtree(out, ignore_errors=True)
+    tmp = out.parent / f".tmp-{os.getpid()}-pages.parquet"
+    generate_pages(sf_dir, str(tmp), pages_per_doc=pages_per_doc)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # another process committed first; its output is identical
+        # (deterministic generator) — keep theirs
+        shutil.rmtree(tmp, ignore_errors=True)
     marker.write_text(CORPUS_VERSION)
     return str(out)

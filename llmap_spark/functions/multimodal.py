@@ -35,27 +35,41 @@ MEDIA_FEATURES_SCHEMA = (
     "n_bytes long, entropy_x1000 int, mean_byte int, nonzero_frac_x1000 int"
 )
 
-# magic-byte prefixes -> media type (hex upper-case, as F.hex produces)
+# magic-byte prefixes -> media type (hex upper-case, as F.hex produces);
+# RIFF is handled separately (its real type lives in bytes 9-12)
 _MAGIC = [
     ("25504446", "application/pdf"),  # %PDF
     ("FFD8FF", "image/jpeg"),
     ("89504E47", "image/png"),
     ("47494638", "image/gif"),
-    ("52494646", "audio/wav"),   # RIFF (also webp/avi; refined by byte 8+)
     ("494433", "audio/mpeg"),
     ("1A45DFA3", "video/webm"),
     ("3C21444F", "text/html"),   # "<!DO"
     ("3C68746D", "text/html"),   # "<htm"
 ]
+# RIFF fourcc at bytes 9-12 (hex offsets 17-24 of the 12-byte head)
+_RIFF_KINDS = [("57415645", "audio/wav"),    # WAVE
+               ("57454250", "image/webp"),   # WEBP
+               ("41564920", "video/avi")]    # 'AVI '
 
 
 def sniff_media_type(col: Column) -> Column:
     """JVM-side magic-byte sniff: hex-prefix match on the first bytes.
-    No UDF — runs at scan speed inside codegen."""
-    head = F.upper(F.hex(F.substring(col, 1, 8)))
+    No UDF — runs at scan speed inside codegen. RIFF containers dispatch
+    on the fourcc at bytes 9-12 (WAVE/WEBP/AVI) exactly like
+    media_meta.parse_media_meta — labeling every RIFF as audio/wav would
+    route WebP images into the audio bucket."""
+    head = F.upper(F.hex(F.substring(col, 1, 12)))
     expr = F.lit("application/octet-stream")
     for prefix, mtype in reversed(_MAGIC):
         expr = F.when(head.startswith(prefix), F.lit(mtype)).otherwise(expr)
+    riff = head.startswith("52494646")
+    fourcc = F.substring(head, 17, 8)
+    for cc, mtype in _RIFF_KINDS:
+        expr = F.when(riff & (fourcc == cc), F.lit(mtype)).otherwise(expr)
+    # unknown RIFF payload types stay unclassified
+    expr = F.when(riff & ~fourcc.isin(*[cc for cc, _ in _RIFF_KINDS]),
+                  F.lit("application/octet-stream")).otherwise(expr)
     return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(expr)
 
 

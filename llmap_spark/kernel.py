@@ -41,7 +41,7 @@ import html as _htmlmod
 import re
 from typing import NamedTuple
 
-KERNEL_VERSION = "2.2.0"
+KERNEL_VERSION = "2.3.0"
 
 # --- bounded per-item work (reference parse.py:20-26 analogue) ------------
 MAX_HTML_BYTES = 1_000_000  # raw html byte cap per page
@@ -132,12 +132,19 @@ def decode_html(html: bytes | None, cap: int = MAX_HTML_BYTES) -> DecodeResult:
     if truncated:
         html = html[:cap]
     if html[:2] in (b"\xff\xfe", b"\xfe\xff"):
-        codec = "utf-16"  # consumes the BOM, picks LE/BE from it
+        # strict-first decode: 'replaced' means the DECODER substituted
+        # characters, detected by the strict pass failing — scanning the
+        # output for U+FFFD misreported pages that legitimately contain
+        # the replacement character (re-encoded-lossily-upstream pages)
+        try:  # utf-16 consumes the BOM, picks LE/BE from it
+            return DecodeResult(html.decode("utf-16"), truncated, False)
+        except Exception:
+            pass
         try:
-            text = html.decode(codec, errors="replace")
+            text = html.decode("utf-16", errors="replace")
         except Exception:
             text = html.decode("utf-8", errors="replace")
-        return DecodeResult(text, truncated, "�" in text)
+        return DecodeResult(text, truncated, True)
     if html[:3] == b"\xef\xbb\xbf":
         html = html[3:]  # UTF-8 BOM: strip, else it prepends U+FEFF
     codec = "utf-8"
@@ -148,11 +155,15 @@ def decode_html(html: bytes | None, cap: int = MAX_HTML_BYTES) -> DecodeResult:
             codec = codecs.lookup(name).name
         except (LookupError, ValueError):
             codec = "utf-8"
+    try:  # strict-first: see the BOM path above
+        return DecodeResult(html.decode(codec), truncated, False)
+    except Exception:
+        pass
     try:
         text = html.decode(codec, errors="replace")
     except Exception:  # pathological codec behaviour -> fixed fallback
         text = html.decode("utf-8", errors="replace")
-    return DecodeResult(text, truncated, "�" in text)
+    return DecodeResult(text, truncated, True)
 
 
 class _BlockSink:
@@ -305,8 +316,17 @@ def _scan(doc: str, sink: _BlockSink) -> None:
         nxt = doc[lt + 1:lt + 2]
         if nxt == "!":
             if doc.startswith("<!--", lt):
-                e = doc.find("-->", lt + 4)
-                pos = n if e < 0 else e + 3
+                # HTML5 "abrupt closing of an empty comment": '<!-->' and
+                # '<!--->' are COMPLETE comments whose closer overlaps the
+                # opener — searching for '-->' past them used to swallow
+                # the whole rest of the document under status 'ok'
+                if doc.startswith(">", lt + 4):
+                    pos = lt + 5
+                elif doc.startswith("->", lt + 4):
+                    pos = lt + 6
+                else:
+                    e = doc.find("-->", lt + 4)
+                    pos = n if e < 0 else e + 3
             else:
                 e = doc.find(">", lt + 2)
                 pos = n if e < 0 else e + 1

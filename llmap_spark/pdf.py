@@ -160,9 +160,12 @@ def _decode_string(raw: bytes, cmap: dict[int, str] | None = None) -> str:
     return raw.decode("latin-1", errors="replace")
 
 
-# ToUnicode CMap sections; entries are bounded (totality: an adversarial
-# CMap cannot allocate unbounded driver/executor memory)
+# ToUnicode CMap sections; entry COUNT and per-entry dst SIZE are both
+# bounded (totality: an adversarial CMap cannot allocate unbounded
+# executor memory — a multi-MB dst hex string replicated across a 64k
+# bfrange would otherwise expand to dst_len x range_size characters)
 MAX_CMAP_ENTRIES = 65_536
+MAX_CMAP_DST_CHARS = 16  # real ToUnicode entries map to 1-2 code points
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
 _HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
@@ -172,13 +175,14 @@ _RANGE_ARR_RE = re.compile(
 
 
 def _hex_to_text(h: bytes) -> str:
-    """CMap dst hex -> unicode text (UTF-16BE per the ToUnicode spec)."""
+    """CMap dst hex -> unicode text (UTF-16BE per the ToUnicode spec),
+    capped at MAX_CMAP_DST_CHARS (see the bound note above)."""
     if len(h) % 2:
         h += b"0"
     b = bytes.fromhex(h.decode("ascii"))
     if len(b) % 2:
         b += b"\x00"
-    return b.decode("utf-16-be", errors="replace")
+    return b.decode("utf-16-be", errors="replace")[:MAX_CMAP_DST_CHARS]
 
 
 def _parse_cmap(body: bytes, cmap: dict[int, str]) -> None:

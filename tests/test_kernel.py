@@ -340,3 +340,38 @@ def test_rawtext_close_requires_token_boundary():
     assert "leak" not in r.extracted_text
     assert "scriptable" not in r.extracted_text
     assert "real content paragraph" in r.extracted_text
+
+
+def test_abrupt_empty_comments_do_not_swallow_document():
+    """HTML5 'abrupt closing of an empty comment': '<!-->' and '<!--->'
+    are COMPLETE comments; searching for '-->' past them swallowed the
+    whole rest of the page under status 'ok' (review-found)."""
+    from llmap_spark import kernel
+
+    base = (b"<html><body><p>First paragraph with plenty of words to be "
+            b"kept here today</p>%s<p>Second paragraph with plenty of "
+            b"words to be kept here too</p></body></html>")
+    for comment in (b"<!-->", b"<!--->", b"<!---->", b"<!-- normal -->"):
+        r = kernel.extract_page(base % comment)
+        assert r.n_blocks_total == 2, comment
+        assert "Second paragraph" in r.extracted_text, comment
+        assert r.status == "ok"
+
+
+def test_literal_replacement_char_is_not_decode_replaced():
+    """A clean UTF-8 page whose SOURCE legitimately contains U+FFFD
+    (re-encoded-lossily upstream) must stay status 'ok' — 'replaced' means
+    the decoder substituted, not that the output contains U+FFFD
+    (review-found)."""
+    from llmap_spark import kernel
+
+    clean = ("<html><body><p>this page contains a literal � char and "
+             "plenty of words to pass the keep rule</p></body></html>"
+             ).encode("utf-8")
+    r = kernel.extract_page(clean)
+    assert r.status == "ok"
+    assert "�" in r.extracted_text
+    # genuinely invalid bytes still report decode_replaced
+    bad = (b"<html><body><p>caf\xe9 plenty of words to pass the keep rule "
+           b"here today ok</p></body></html>")
+    assert kernel.extract_page(bad).status == "decode_replaced"

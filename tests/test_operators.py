@@ -848,3 +848,20 @@ def test_ngram_jaccard_blank_docs_never_pair(spark):
            ngram_jaccard_pairs(df, n=1, threshold_num=1,
                                threshold_den=2).collect()}
     assert got == {(4, 5)}
+
+
+def test_sniff_riff_dispatches_on_fourcc(spark):
+    """RIFF is a container: WAVE -> audio/wav, WEBP -> image/webp, AVI ->
+    video/avi, unknown RIFF -> octet-stream. Labeling every RIFF as
+    audio/wav routed WebP images into the audio bucket (review-found)."""
+    from llmap_spark.functions.multimodal import sniff_media_type
+
+    rows = [(1, b"RIFF\x10\x00\x00\x00WAVEfmt "),
+            (2, b"RIFF\x10\x00\x00\x00WEBPVP8 "),
+            (3, b"RIFF\x10\x00\x00\x00AVI LIST"),
+            (4, b"RIFF\x10\x00\x00\x00XXXXdata")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r.mt for r in
+           df.select("id", sniff_media_type(F.col("payload")).alias("mt")).collect()}
+    assert got == {1: "audio/wav", 2: "image/webp", 3: "video/avi",
+                   4: "application/octet-stream"}

@@ -289,3 +289,16 @@ def test_bfrange_into_surrogate_gap_stays_utf8_safe():
     for v in m.values():
         assert all(not 0xD800 <= ord(ch) <= 0xDFFF for ch in v)
     "".join(m.values()).encode("utf-8")  # must not raise
+
+
+def test_cmap_dst_size_is_bounded():
+    """A hostile bfrange with a multi-MB dst hex must not expand to
+    dst_len x range_size chars (review-found: entry COUNT was capped but
+    per-entry SIZE was not — ~0.5 TB allocation from a few-MB payload)."""
+    big = b"0041" * 100_000  # 400 KB of hex -> 200k chars uncapped
+    m = {}
+    pdf._parse_cmap(b"beginbfrange\n<0000> <ffff> <" + big + b">\nendbfrange", m)
+    assert m and all(len(v) <= pdf.MAX_CMAP_DST_CHARS for v in m.values())
+    m = {}
+    pdf._parse_cmap(b"beginbfchar\n<0001> <" + big + b">\nendbfchar", m)
+    assert all(len(v) <= pdf.MAX_CMAP_DST_CHARS for v in m.values())
