@@ -781,6 +781,38 @@ def _q_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "rank")
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC source, hash-verified end-to-end: documents are rendered
+    into crawl-style gzip-member WARC archives (urls and payloads pure
+    doc_id/text arithmetic, 8 shards), read back through the real
+    binaryFile + parse_warc reader, and the oracle recomputes url, byte
+    length, and payload md5 from the documents table. Archive writing is
+    driver-side and fixture-scale by design (the read path is the
+    distributed product surface — one task per archive)."""
+    import tempfile
+    from pathlib import Path
+
+    from llmap_spark.sources.warc import make_warc, read_warc
+
+    rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
+    tmp = Path(tempfile.mkdtemp(prefix="llmap_warc_"))
+    n_shards = 8
+    shards: list[list] = [[] for _ in range(n_shards)]
+    for r in rows:
+        d = int(r.doc_id)
+        payload = f"<html><body><p>{r.text or ''}</p></body></html>".encode()
+        url = f"https://w{d % 25}.example/doc{d}"
+        shards[d % n_shards].append((url, "2025-01-01T00:00:00Z", payload))
+    for k, recs in enumerate(shards):
+        (tmp / f"seg-{k:05d}.warc.gz").write_bytes(make_warc(recs))
+    df = read_warc(spark, str(tmp))
+    return df.select(
+        F.regexp_extract("url", r"/doc(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("payload_md5"))
+
+
 def _q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PDF text extraction, driver-verified: documents are rendered
     into minimal PDFs (deterministically varied Tj/TJ/hex string codings and
@@ -1043,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_lsh_neardup": _q_embedding_lsh_neardup,
         "embedding_lsh_planted": _q_embedding_lsh_planted,
+        # sources
+        "warc_roundtrip": _q_warc_roundtrip,
         # multimodal
         "extract_pdf_roundtrip": _q_extract_pdf_roundtrip,
         "extract_pdf_cid_roundtrip": _q_extract_pdf_cid_roundtrip,
@@ -1353,6 +1387,15 @@ def oracle_sql() -> dict[str, str]:
                 AS n_blocks_total,
               'truncated' AS status
             FROM ov5
+        """,
+        "warc_roundtrip": """
+            SELECT doc_id,
+              'https://w' || CAST(doc_id % 25 AS varchar) || '.example/doc'
+                || CAST(doc_id AS varchar) AS url,
+              CAST(15 + length(coalesce(text, '')) + 18 AS bigint) AS n_bytes,
+              md5('<html><body><p>' || coalesce(text, '')
+                  || '</p></body></html>') AS payload_md5
+            FROM documents
         """,
         "extract_pdf_roundtrip": """
             -- coalesce BEFORE normalizing: the Spark side renders

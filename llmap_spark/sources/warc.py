@@ -1,0 +1,157 @@
+"""Stdlib WARC 1.0 source: the container format Common-Crawl-style pages
+actually arrive in (reference analogue: the path-scan ingestion seam,
+llmap.py:139-143 — here the "paths" are WARC archives instead of source
+files).
+
+Two halves, same discipline as the other kernels (total, deterministic,
+stdlib-only, shared by tests and the Spark reader):
+
+  parse_warc(data)   bytes of one (multi-member gzip or plain) WARC file
+                     -> list of response records (url, warc_date, payload).
+                     NEVER raises: malformed records are skipped, sizes are
+                     capped, truncated files yield the records that fit.
+  make_warc(records) deterministic writer (tests + the driver roundtrip
+                     oracle): one gzip member per record, the layout
+                     crawlers emit so member-level streaming works.
+
+Spark shape (read_warc): `binaryFile` scan -> one task per WARC file ->
+mapInPandas running parse_warc per file. WARC's gzip members are not
+block-splittable, so FILE-level parallelism is the correct unit — exactly
+how production crawl pipelines shard (many ~1 GB archives, one task
+each); `binaryFile` loads a whole archive per task, so executor memory
+must cover one archive (the standard contract for WARC processing).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import re
+
+MAX_WARC_BYTES = 2_000_000_000   # binaryFile's own per-file ceiling
+MAX_RECORD_PAYLOAD = 8_000_000   # per-record body cap (kernel input cap x8)
+MAX_RECORDS_PER_FILE = 1_000_000
+
+_HDR_RE = re.compile(rb"^([A-Za-z0-9-]+):[ \t]*(.*?)\r?$", re.MULTILINE)
+
+
+def _decompress(data: bytes) -> bytes:
+    """Multi-member gzip -> concatenated WARC stream; plain data passes
+    through. Total: a corrupt trailing member yields the prefix that
+    decompressed."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    out = io.BytesIO()
+    try:
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as g:
+            while True:
+                chunk = g.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+                if out.tell() > MAX_WARC_BYTES:
+                    break
+    except Exception:
+        pass  # truncated/corrupt member: keep what decompressed
+    return out.getvalue()
+
+
+def _parse_headers(block: bytes) -> dict[bytes, bytes]:
+    return {m.group(1).lower(): m.group(2) for m in _HDR_RE.finditer(block)}
+
+
+def parse_warc(data: bytes | None) -> list[tuple[str, str, bytes]]:
+    """WARC file bytes -> [(url, warc_date_iso, http_payload_bytes)] for
+    response records, in file order. Request/metadata/warcinfo records are
+    skipped; the HTTP header block is stripped from response bodies (the
+    payload is what the extraction kernel wants). Total on any bytes."""
+    if not data:
+        return []
+    stream = _decompress(data[:MAX_WARC_BYTES])
+    out: list[tuple[str, str, bytes]] = []
+    pos = 0
+    n = len(stream)
+    while pos < n and len(out) < MAX_RECORDS_PER_FILE:
+        start = stream.find(b"WARC/", pos)
+        if start < 0:
+            break
+        hdr_end = stream.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            break
+        headers = _parse_headers(stream[start:hdr_end])
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError:
+            pos = hdr_end + 4  # unparseable record: resync on next WARC/
+            continue
+        length = max(0, min(length, MAX_RECORD_PAYLOAD))
+        body = stream[hdr_end + 4:hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        date = headers.get(b"warc-date", b"").decode("ascii", "replace")
+        # response content is an HTTP message: strip its header block
+        if body[:5] == b"HTTP/":
+            he = body.find(b"\r\n\r\n")
+            body = body[he + 4:] if he >= 0 else b""
+        out.append((url, date, body))
+    return out
+
+
+def make_warc(records: list[tuple[str, str, bytes]],
+              compress: bool = True) -> bytes:
+    """[(url, warc_date_iso, payload)] -> WARC bytes, one gzip member per
+    response record (the crawler layout). Deterministic."""
+    out = io.BytesIO()
+    for url, date, payload in records:
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Length: " + str(len(payload)).encode()
+                + b"\r\n\r\n" + payload)
+        rec = (b"WARC/1.0\r\n"
+               b"WARC-Type: response\r\n"
+               b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+               b"WARC-Date: " + date.encode("ascii") + b"\r\n"
+               b"Content-Type: application/http; msgtype=response\r\n"
+               b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+               + http + b"\r\n\r\n")
+        if compress:
+            # mtime=0: deterministic bytes (gzip embeds a timestamp)
+            out.write(gzip.compress(rec, mtime=0))
+        else:
+            out.write(rec)
+    return out.getvalue()
+
+
+def read_warc(spark, path: str):
+    """WARC archives under `path` -> DataFrame(url, warc_ts, html, warc_path).
+
+    One task per archive (binaryFile scan; WARC gzip members are not
+    block-splittable) running the SAME parse_warc the tests pin —
+    `warc_path` rides along for lineage, mirroring the pages table schema
+    otherwise so `plans.pipeline.extract` consumes the result directly."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "warc_date": [], "html": [], "warc_path": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for url, date, payload in parse_warc(content):
+                    rows["url"].append(url)
+                    rows["warc_date"].append(date)
+                    rows["html"].append(payload)
+                    rows["warc_path"].append(p)
+            yield pd.DataFrame(rows)
+
+    parsed = files.select("path", "content").mapInPandas(
+        parse, "url string, warc_date string, html binary, warc_path string")
+    return parsed.select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("warc_ts"),
+        "html", "warc_path")

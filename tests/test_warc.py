@@ -1,0 +1,77 @@
+"""WARC source: kernel roundtrips + totality + the Spark reader."""
+
+from __future__ import annotations
+
+import gzip
+
+from llmap_spark.sources import warc
+
+
+def test_roundtrip_compressed_and_plain():
+    recs = [("https://a.example/x", "2025-01-01T00:00:00Z", b"<p>one</p>"),
+            ("https://b.example/y", "2025-01-01T00:00:07Z", b"<p>two</p>")]
+    for compress in (True, False):
+        got = warc.parse_warc(warc.make_warc(recs, compress=compress))
+        assert got == recs
+
+
+def test_writer_is_deterministic():
+    recs = [("https://a.example/x", "2025-01-01T00:00:00Z", b"abc")]
+    assert warc.make_warc(recs) == warc.make_warc(recs)
+
+
+def test_non_response_records_skipped():
+    body = b"software: test"
+    rec = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: "
+           + str(len(body)).encode() + b"\r\n\r\n" + body + b"\r\n\r\n")
+    data = rec + warc.make_warc(
+        [("https://a/x", "2025-01-01T00:00:00Z", b"hi")], compress=False)
+    got = warc.parse_warc(data)
+    assert got == [("https://a/x", "2025-01-01T00:00:00Z", b"hi")]
+
+
+def test_total_on_garbage_and_truncation():
+    recs = [("https://a/x", "2025-01-01T00:00:00Z", b"payload here")]
+    full = warc.make_warc(recs)
+    for data in (None, b"", b"\x00" * 100, b"WARC/1.0\r\njunk",
+                 full[: len(full) // 2],             # truncated member
+                 full + b"\x1f\x8b\x00garbage"):     # corrupt tail member
+        warc.parse_warc(data)  # must not raise
+    # bad content-length resyncs instead of aborting the file
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: zap\r\n\r\n"
+           + warc.make_warc(recs, compress=False))
+    assert warc.parse_warc(bad) == recs
+
+
+def test_payload_cap():
+    big = b"x" * (warc.MAX_RECORD_PAYLOAD + 100)
+    got = warc.parse_warc(warc.make_warc(
+        [("https://a/x", "2025-01-01T00:00:00Z", big)], compress=False))
+    # capped, never unbounded; (the truncated record is still emitted)
+    assert len(got) == 1 and len(got[0][2]) <= warc.MAX_RECORD_PAYLOAD
+
+
+def test_spark_reader_roundtrips_pages(spark, tmp_path):
+    """Archives written from the pages corpus read back byte-identical html
+    per url, and the result feeds the extraction pipeline directly."""
+    from llmap_spark.corpus import pages_path_for
+    from llmap_spark.plans.pipeline import ExtractConfig, extract
+
+    pages = spark.read.parquet(pages_path_for("/root/testdata/sf0.001")) \
+        .limit(300).collect()
+    # shard into 4 archives like a crawl segment
+    for shard in range(4):
+        recs = [(r.url, r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                 bytes(r.html)) for i, r in enumerate(pages)
+                if i % 4 == shard]
+        (tmp_path / f"seg-{shard:05d}.warc.gz").write_bytes(
+            warc.make_warc(recs))
+    df = warc.read_warc(spark, str(tmp_path))
+    got = {r.url: bytes(r.html) for r in df.collect()}
+    want = {r.url: bytes(r.html) for r in pages}
+    assert got == want
+    # 4 archives -> the binaryFile scan gives file-level parallelism
+    assert df.select("warc_path").distinct().count() == 4
+    # and the pipeline consumes the reader's output schema directly
+    ex = extract(df.withColumn("lang", df.url.substr(1, 0)), ExtractConfig())
+    assert ex.count() == len(want)
