@@ -60,11 +60,14 @@ def _parse_headers(block: bytes) -> dict[bytes, bytes]:
     return {m.group(1).lower(): m.group(2) for m in _HDR_RE.finditer(block)}
 
 
-def parse_warc(data: bytes | None) -> list[tuple[str, str, bytes]]:
-    """WARC file bytes -> [(url, warc_date_iso, http_payload_bytes)] for
-    response records, in file order. Request/metadata/warcinfo records are
-    skipped; the HTTP header block is stripped from response bodies (the
-    payload is what the extraction kernel wants). Total on any bytes."""
+def parse_warc(data: bytes | None,
+               record_type: bytes = b"response") -> list[tuple[str, str, bytes]]:
+    """WARC file bytes -> [(url, warc_date_iso, payload_bytes)] for records
+    of `record_type`, in file order ('response' for crawl archives,
+    'conversion' for WET extracted-text archives). Other record kinds
+    (request/metadata/warcinfo) are skipped; HTTP header blocks are
+    stripped from response bodies (the payload is what the extraction
+    kernel wants). Total on any bytes."""
     if not data:
         return []
     stream = _decompress(data[:MAX_WARC_BYTES])
@@ -87,7 +90,7 @@ def parse_warc(data: bytes | None) -> list[tuple[str, str, bytes]]:
         length = max(0, min(length, MAX_RECORD_PAYLOAD))
         body = stream[hdr_end + 4:hdr_end + 4 + length]
         pos = hdr_end + 4 + length
-        if headers.get(b"warc-type") != b"response":
+        if headers.get(b"warc-type") != record_type:
             continue
         url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
         date = headers.get(b"warc-date", b"").decode("ascii", "replace")
@@ -121,6 +124,64 @@ def make_warc(records: list[tuple[str, str, bytes]],
         else:
             out.write(rec)
     return out.getvalue()
+
+
+def make_wet(records: list[tuple[str, str, str]]) -> bytes:
+    """[(url, warc_date_iso, extracted_text)] -> WET bytes: WARC 1.0
+    'conversion' records, one gzip member each — the Common Crawl
+    extracted-text deliverable format. Deterministic (mtime=0)."""
+    out = io.BytesIO()
+    for url, date, text in records:
+        payload = (text or "").encode("utf-8")
+        rec = (b"WARC/1.0\r\n"
+               b"WARC-Type: conversion\r\n"
+               b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+               b"WARC-Date: " + date.encode("ascii") + b"\r\n"
+               b"Content-Type: text/plain\r\n"
+               b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+               + payload + b"\r\n\r\n")
+        out.write(gzip.compress(rec, mtime=0))
+    return out.getvalue()
+
+
+def write_wet(df, out_dir: str,
+              url_col: str = "url", ts_col: str = "warc_ts",
+              text_col: str = "extracted_text") -> int:
+    """Distributed WET sink: one `part-{partition}.warc.wet.gz` archive per
+    Spark partition, written FROM THE EXECUTORS (foreachPartition — no
+    driver collect, so the sink scales with the cluster like the parquet
+    snapshot sink). Returns the number of partitions written. Idempotent
+    per partition id (re-run overwrites the same file names); for
+    commit-or-nothing semantics wrap the directory with the snapshot
+    layer's manifest pattern."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    sel = df.select(
+        F.col(url_col).alias("u"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("d"),
+        F.col(text_col).alias("t"),
+        F.spark_partition_id().alias("p"))
+
+    def dump(rows) -> None:
+        recs = []
+        pid = None
+        for r in rows:
+            pid = r.p
+            recs.append((r.u, r.d or "1970-01-01T00:00:00Z", r.t or ""))
+        if pid is None:
+            return
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(make_wet(recs))
+        os.replace(tmp, path)  # atomic per-file commit
+
+    sel.foreachPartition(dump)
+    import glob as _glob
+    return len(_glob.glob(os.path.join(out_dir, "part-*.warc.wet.gz")))
 
 
 def read_warc(spark, path: str):

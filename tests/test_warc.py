@@ -75,3 +75,26 @@ def test_spark_reader_roundtrips_pages(spark, tmp_path):
     # and the pipeline consumes the reader's output schema directly
     ex = extract(df.withColumn("lang", df.url.substr(1, 0)), ExtractConfig())
     assert ex.count() == len(want)
+
+
+def test_wet_sink_roundtrips_extraction(spark, tmp_path):
+    """extract -> write_wet (per-partition executor-side archives) ->
+    parse_warc(conversion) reads the extracted text back byte-identical
+    per url — the crawl-native export path end-to-end."""
+    from llmap_spark.corpus import pages_path_for
+    from llmap_spark.plans.pipeline import ExtractConfig, extract
+
+    pages = spark.read.parquet(pages_path_for("/root/testdata/sf0.001")) \
+        .limit(200)
+    ex = extract(pages, ExtractConfig()).select(
+        "url", "warc_ts", "extracted_text")
+    out = tmp_path / "wet"
+    n_parts = warc.write_wet(ex, str(out))
+    assert n_parts >= 1
+    got = {}
+    for f in sorted(out.glob("part-*.warc.wet.gz")):
+        for url, _, payload in warc.parse_warc(
+                f.read_bytes(), record_type=b"conversion"):
+            got[url] = payload.decode("utf-8")
+    want = {r.url: r.extracted_text for r in ex.collect()}
+    assert got == want
