@@ -3,12 +3,16 @@
 
     spark-submit --py-files engine.zip llmap_spark/run_extract.py ...  # or:
     python -m llmap_spark.run_extract \
-        --input  /path/to/pages_parquet \
+        --input  /path/to/pages_parquet_or_warc_dir \
         --output /path/to/output_root \
+        [--input-format parquet|warc] [--export-wet /path/to/wet_dir] \
         [--repartition 0] [--n-salts 8] [--staged] [--cores 32]
 
 Runs one snapshot commit (resuming past committed urls), prints a JSON
 summary line. Safe to re-run: completed inputs are a no-op.
+--input-format warc ingests crawl archives directly (sources/warc.py, one
+task per archive); --export-wet additionally exports ALL committed
+extracted text as WET conversion archives (the Common Crawl deliverable).
 """
 
 from __future__ import annotations
@@ -20,8 +24,15 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="pages parquet dir")
+    ap.add_argument("--input", required=True,
+                    help="pages parquet dir, or a WARC archive dir with "
+                         "--input-format warc")
     ap.add_argument("--output", required=True, help="snapshot output root")
+    ap.add_argument("--input-format", choices=("parquet", "warc"),
+                    default="parquet")
+    ap.add_argument("--export-wet", default=None, metavar="DIR",
+                    help="after committing, export all committed extracted "
+                         "text as WET archives into DIR")
     ap.add_argument("--repartition", type=int, default=0,
                     help="explicit salted url-hash repartition; 0 = map-only")
     ap.add_argument("--n-salts", type=int, default=8)
@@ -52,17 +63,32 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = ExtractConfig(repartition=args.repartition, n_salts=args.n_salts,
                         fuse=not args.staged)
-    snap = run_extract_job(spark, spark.read.parquet(args.input),
-                           args.output, cfg)
-    if snap is None:
-        print(json.dumps({"status": "up-to-date", "new_rows": 0}))
+    if args.input_format == "warc":
+        from pyspark.sql import functions as F
+
+        from llmap_spark.sources.warc import read_warc
+
+        # archives carry no lang column; the pipeline schema wants one
+        pages = read_warc(spark, args.input).withColumn(
+            "lang", F.lit(None).cast("string"))
     else:
-        print(json.dumps({
-            "status": "committed", "snapshot_id": snap.snapshot_id,
-            "new_rows": snap.n_rows, "data_path": snap.data_path,
-            "lineage_path": snap.lineage_path,
-            "kernel_version": snap.kernel_version,
-        }))
+        pages = spark.read.parquet(args.input)
+    snap = run_extract_job(spark, pages, args.output, cfg)
+    summary: dict = (
+        {"status": "up-to-date", "new_rows": 0} if snap is None else
+        {"status": "committed", "snapshot_id": snap.snapshot_id,
+         "new_rows": snap.n_rows, "data_path": snap.data_path,
+         "lineage_path": snap.lineage_path,
+         "kernel_version": snap.kernel_version})
+    if args.export_wet:
+        from llmap_spark.sources.snapshot import read_extracted
+        from llmap_spark.sources.warc import write_wet
+
+        committed = read_extracted(spark, args.output)
+        summary["wet_archives"] = (
+            0 if committed is None else write_wet(committed, args.export_wet))
+        summary["wet_dir"] = args.export_wet
+    print(json.dumps(summary))
     return 0
 
 

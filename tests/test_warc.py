@@ -98,3 +98,37 @@ def test_wet_sink_roundtrips_extraction(spark, tmp_path):
             got[url] = payload.decode("utf-8")
     want = {r.url: r.extracted_text for r in ex.collect()}
     assert got == want
+
+
+def test_run_extract_cli_warc_to_wet(spark, tmp_path):
+    """The full crawl-native CLI path: WARC archives in -> snapshot commit
+    (resumable) -> WET archives out, with re-run a no-op."""
+    import json
+
+    from llmap_spark.corpus import pages_path_for
+    from llmap_spark.run_extract import main
+
+    pages = spark.read.parquet(pages_path_for("/root/testdata/sf0.001")) \
+        .limit(120).collect()
+    wdir = tmp_path / "warc"; wdir.mkdir()
+    for shard in range(3):
+        recs = [(r.url, r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                 bytes(r.html)) for i, r in enumerate(pages)
+                if i % 3 == shard]
+        (wdir / f"seg-{shard:05d}.warc.gz").write_bytes(warc.make_warc(recs))
+    out = tmp_path / "snap"; wet = tmp_path / "wet"
+    rc = main(["--input", str(wdir), "--input-format", "warc",
+               "--output", str(out), "--export-wet", str(wet),
+               "--cores", "8"])
+    assert rc == 0
+    # committed rows == archive records; WET archives exist and read back
+    got = {}
+    for f in sorted(wet.glob("part-*.warc.wet.gz")):
+        for url, _, payload in warc.parse_warc(
+                f.read_bytes(), record_type=b"conversion"):
+            got[url] = payload.decode("utf-8")
+    assert len(got) == len(pages)
+    # re-run: resume makes it a no-op commit
+    rc2 = main(["--input", str(wdir), "--input-format", "warc",
+                "--output", str(out), "--cores", "8"])
+    assert rc2 == 0
