@@ -355,6 +355,24 @@ def _q_dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("agree_x64")))
 
 
+def _q_dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding hash-verified by construction: 4-block families of
+    EXACT copies have IDENTICAL simhash (Hamming 0), so pigeonhole banding
+    guarantees every within-family pair is a candidate and the verify
+    stage reports hamming exactly 0. Distinct families are md5 word soups;
+    validated at sf0.01: zero cross-family pairs at radius 4 and no zero
+    sketches, so the pair list is pure doc_id arithmetic. (The corpus-data
+    variant dedup_simhash stays rows-only: real sketch distances are not
+    SQL-expressible.)"""
+    from llmap_spark.operators.dedup import simhash_candidates
+
+    text = F.expr(
+        "concat('the ', regexp_replace(md5(concat('s', "
+        "cast(doc_id DIV 4 as string))), '(....)', '$1 '))")
+    planted = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return simhash_candidates(planted, max_hamming=4, materialize=True)
+
+
 def _q_dedup_components_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components hash-verified by construction: components over
     the planted family candidates are exactly the 4-blocks, label = min id
@@ -1037,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_minhash_planted": _q_dedup_minhash_planted,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_planted": _q_dedup_simhash_planted,
         "dedup_components": _q_dedup_components,
         "dedup_components_planted": _q_dedup_components_planted,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -1513,6 +1532,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 AS int) AS agree_x64
             FROM m a JOIN m b ON a.g = b.g AND a.doc_id < b.doc_id
         """,
+        "dedup_simhash_planted": """
+            -- exact-copy families: identical simhash, so candidates are
+            -- exactly the within-family pairs, each at Hamming 0
+            WITH m AS (SELECT doc_id, doc_id // 4 AS g FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(0 AS int) AS hamming
+            FROM m a JOIN m b ON a.g = b.g AND a.doc_id < b.doc_id
+        """,
         "dedup_components_planted": """
             -- a node appears in CC output only if its family has >= 2
             -- members (an isolated tail node — ndocs % 4 == 1 — yields no
@@ -1839,7 +1866,8 @@ def oracle_sql() -> dict[str, str]:
         #   8 templates and all 7 edge kinds; this combined row stays
         #   rows-only merely because its one-query union shape carries no
         #   extra information),
-        #   dedup_minhash_lsh, dedup_simhash, dedup_components,
+        #   dedup_minhash_lsh, dedup_simhash (the exact-copy twin
+        #   dedup_simhash_planted IS hash-checked), dedup_components,
         #   doc_fingerprints, winnow_overlap, cdc_chunks,
         #   ann_brute_force, ann_ivf (integer twins embedding_topk_int /
         #   embedding_neardup_int ARE oracle-checked),
