@@ -168,8 +168,19 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     max_blocks = 1024  # ~67M queries at the default block size
     corpus_sel = corpus.select(id_col, vec_col)
     kk = k + (1 if exclude_self else 0)
-    # one pass over the query side, one block in driver memory at a time
-    it = queries.select(id_col, vec_col).toLocalIterator()
+    # One pass over the query side, one block in driver memory at a time.
+    # Probe with a single bounded collect first: toLocalIterator fetches
+    # partitions as SEQUENTIAL jobs (~100 ms scheduler latency each), which
+    # dominates small query sides — a 2k-vector query side was paying ~3 s
+    # of round-trips for what one job returns. Only a query side that
+    # overflows one block pays the streaming path (whose first block is
+    # re-read from the iterator; the probe rows are discarded).
+    q_sel = queries.select(id_col, vec_col)
+    probe = q_sel.limit(max_query_rows + 1).collect()
+    if len(probe) <= max_query_rows:
+        it = iter(probe)
+    else:
+        it = q_sel.toLocalIterator(prefetchPartitions=True)
     partials = None
     pending = None  # first block kept lazy until a second block appears
     n_blocks = 0
