@@ -1032,6 +1032,74 @@ def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRUB_BOILER = "shared corpus boilerplate paragraph"
+
+
+def _scrub_paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted paragraph construction shared by the scrub twins: every doc
+    becomes BOILER \\n\\n first-5-words \\n\\n full-text, so paragraph 0 is a
+    corpus-wide duplicate (winner = min doc_id), paragraph 1 collides across
+    docs sharing a 5-word prefix, and paragraph 2 is (mostly) unique. The
+    oracle rebuilds the identical string in SQL."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"\s+", " "))
+    head = F.array_join(F.slice(F.split(norm, " "), 1, 5), " ")
+    text2 = F.concat_ws("\n\n", F.lit(_SCRUB_BOILER), head, norm)
+    return d.select("doc_id", text2.alias("text"))
+
+
+def _q_scrub_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (scrub.dedup_paragraphs) hash-verified by
+    construction: paragraphs are planted arithmetically (see
+    _scrub_paragraph_docs) and the oracle replays the min-(doc,idx) winner
+    rule plus ordered reassembly in SQL. Reference analogue: the per-file
+    skip/boiler gates of llmap's pipeline (llmap.py:139-229) generalized to
+    corpus hygiene."""
+    from llmap_spark.operators.scrub import dedup_paragraphs
+
+    return dedup_paragraphs(_scrub_paragraph_docs(spark, sf_dir))
+
+
+def _q_scrub_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (scrub.redact_pii) hash-verified by construction:
+    emails / IPv4s / phone numbers are planted from doc_id arithmetic (the
+    corpus text itself carries none), the pure-JVM regexp operator redacts
+    and counts them, and the oracle recomputes with the identical RE2-safe
+    patterns in DuckDB."""
+    from llmap_spark.operators.scrub import redact_pii
+
+    d = _docs(spark, sf_dir)
+    planted = F.expr(
+        "concat(' reach user', cast(doc_id as string), '@mail', "
+        "cast(doc_id % 9 as string), '.example now', "
+        "CASE WHEN doc_id % 2 = 0 THEN concat(' at 10.', "
+        "cast(doc_id % 200 as string), '.0.', "
+        "cast(doc_id % 250 as string), ' port') ELSE '' END, "
+        "CASE WHEN doc_id % 3 = 0 THEN concat(' call 555-', "
+        "lpad(cast(doc_id % 1000 as string), 3, '0'), '-0199 soon') "
+        "ELSE '' END)")
+    docs2 = d.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), planted).alias("text"))
+    return redact_pii(docs2).select(
+        "doc_id", "text_redacted", "n_emails", "n_ipv4", "n_phones")
+
+
+def _q_scrub_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (scrub.decontaminate): docs with
+    doc_id % 97 == 0 play the held-out benchmark; every corpus document is
+    scored by distinct shared word 3-grams. The small-vocabulary corpus
+    makes collisions real (nonzero hits on non-benchmark docs). The
+    benchmark side is broadcast; the oracle recomputes the distinct-gram
+    intersection in SQL."""
+    from llmap_spark.operators.scrub import decontaminate
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("text")
+    return decontaminate(d, bench, n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction funnel (SURVEY §2 #1-#28 composed)
@@ -1063,6 +1131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_planted": _q_winnow_overlap_planted,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_reassembly": _q_cdc_reassembly,
+        # corpus scrubbing
+        "scrub_paragraph_dedup": _q_scrub_paragraph_dedup,
+        "scrub_redact_pii": _q_scrub_redact_pii,
+        "scrub_decontaminate": _q_scrub_decontaminate,
         # link graph
         "link_extract_roundtrip": _q_link_extract_roundtrip,
         "link_hosts": _q_link_hosts,
@@ -1857,6 +1929,110 @@ def oracle_sql() -> dict[str, str]:
                 AS sum_disc_units,
               count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "scrub_paragraph_dedup": """
+            -- replays _scrub_paragraph_docs + dedup_paragraphs: build the
+            -- same 3-paragraph planted text, fingerprint each paragraph
+            -- (md5 of whitespace-normalized text, as operators/textstats
+            -- fingerprint does), keep the min-(doc_id, idx) winner per
+            -- fingerprint, reassemble in paragraph order
+            WITH base AS (
+              SELECT doc_id,
+                trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
+                  AS norm
+              FROM documents),
+            built AS (
+              SELECT doc_id,
+                'shared corpus boilerplate paragraph' || chr(10) || chr(10)
+                || array_to_string((string_split(norm, ' '))[1:5], ' ')
+                || chr(10) || chr(10) || norm AS t
+              FROM base),
+            paras AS (
+              SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps
+              FROM built),
+            ex AS (
+              SELECT doc_id, u.i AS idx, ps[u.i] AS para, len(ps) AS np
+              FROM paras, LATERAL unnest(generate_series(1, len(ps)))
+                   AS u(i)),
+            fp AS (
+              SELECT *,
+                md5(trim(regexp_replace(para, '\\s+', ' ', 'g'))) AS f
+              FROM ex),
+            win AS (
+              SELECT *, row_number()
+                OVER (PARTITION BY f ORDER BY doc_id, idx) AS rn
+              FROM fp),
+            reb AS (
+              SELECT doc_id,
+                string_agg(para, chr(10) || chr(10) ORDER BY idx)
+                  AS text_clean,
+                CAST(count(*) AS int) AS n_paras_kept
+              FROM win WHERE rn = 1 GROUP BY doc_id)
+            SELECT p.doc_id,
+              coalesce(r.text_clean, '') AS text_clean,
+              CAST(len(p.ps) AS int) AS n_paras,
+              coalesce(r.n_paras_kept, 0) AS n_paras_kept
+            FROM paras p LEFT JOIN reb r USING (doc_id)
+        """,
+        "scrub_redact_pii": """
+            -- identical planted construction + the same RE2-safe patterns
+            -- as operators/scrub.py (EMAIL_RE / IPV4_RE / PHONE_RE);
+            -- counts on the original text, replacement order email->ip->
+            -- phone
+            WITH built AS (
+              SELECT doc_id, coalesce(text, '')
+                || ' reach user' || CAST(doc_id AS varchar) || '@mail'
+                || CAST(doc_id % 9 AS varchar) || '.example now'
+                || CASE WHEN doc_id % 2 = 0 THEN ' at 10.'
+                     || CAST(doc_id % 200 AS varchar) || '.0.'
+                     || CAST(doc_id % 250 AS varchar) || ' port'
+                   ELSE '' END
+                || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'
+                     || lpad(CAST(doc_id % 1000 AS varchar), 3, '0')
+                     || '-0199 soon'
+                   ELSE '' END AS t
+              FROM documents)
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')
+                AS text_redacted,
+              CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                AS int) AS n_emails,
+              CAST(len(regexp_extract_all(t,
+                '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS int) AS n_ipv4,
+              CAST(len(regexp_extract_all(t,
+                '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS int) AS n_phones
+            FROM built
+        """,
+        "scrub_decontaminate": """
+            -- distinct word-3-gram intersection against the doc_id%97
+            -- benchmark slice; docs with < 3 words carry no gram and are
+            -- excluded on both sides
+            WITH w AS (
+              SELECT doc_id,
+                string_split_regex(trim(coalesce(text, '')), '\\s+') AS ws
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                array_to_string(ws[u.i:u.i+2], ' ') AS gram
+              FROM w, LATERAL unnest(generate_series(1, len(ws) - 2))
+                   AS u(i)
+              WHERE len(ws) >= 3),
+            b AS (
+              SELECT DISTINCT array_to_string(ws[u.i:u.i+2], ' ') AS gram
+              FROM w, LATERAL unnest(generate_series(1, len(ws) - 2))
+                   AS u(i)
+              WHERE doc_id % 97 = 0 AND len(ws) >= 3)
+            SELECT g.doc_id,
+              CAST(count(b.gram) AS bigint) AS n_hits,
+              CAST(CASE WHEN count(b.gram) > 0 THEN 1 ELSE 0 END AS int)
+                AS contaminated
+            FROM g LEFT JOIN b USING (gram)
+            GROUP BY g.doc_id
         """,
         # rows-only (genuinely non-SQL-expressible: hash-signature /
         # iterative / float-ANN / engine-specific-sampler / fake-decode

@@ -1,0 +1,159 @@
+"""Corpus-scrubbing operators for training-data pipelines.
+
+Three stages every web-text curation pipeline runs between extraction and
+tokenization (reference analogue: the per-file relevance/skip gates of
+llmap's pipeline, `llmap.py:139-229`, generalized to corpus hygiene):
+
+  dedup_paragraphs  sub-document exact dedup: keep the corpus-wide FIRST
+                    occurrence of each paragraph (boilerplate killer);
+                    rewrite documents with later copies removed
+  redact_pii        email / IPv4 / phone redaction with per-kind counts,
+                    pure JVM regexp (no Python in the hot path)
+  decontaminate     benchmark decontamination: flag documents sharing any
+                    word n-gram with a (small) held-out benchmark corpus
+
+Scale notes baked in:
+  - paragraph winners use groupBy(fingerprint).agg(min(...)) — map-side
+    partial aggregation absorbs hot fingerprints (a boilerplate paragraph
+    duplicated 10^9 times is ONE group, not a window sort over 10^9 rows);
+    the winner join-back is an equi-join on the fingerprint AQE can
+    skew-split;
+  - redact_pii is regexp_extract_all / regexp_replace inside whole-stage
+    codegen — zero Python, zero shuffles;
+  - decontaminate broadcasts the benchmark n-gram set (benchmarks are
+    MB-scale vs a 100 TB corpus) so the corpus side is one map-side join
+    plus a partially-aggregated groupBy(doc) — one narrow shuffle of one
+    row per document.
+
+All expressions are chosen to evaluate identically in Spark and DuckDB
+(ASCII-safe, no locale-sensitive folds) so every operator here is
+hash-oracle-able; see __spark_entry__ for the driver twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from llmap_spark.operators.textstats import fingerprint
+
+# Conservative patterns that parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     sep: str = "\n\n") -> DataFrame:
+    """Corpus-wide paragraph dedup: split each document on `sep`, keep only
+    the FIRST occurrence (min (id, position)) of each whitespace-normalized
+    paragraph, and reassemble documents from their surviving paragraphs in
+    original order.
+
+    Returns (id_col, text_clean, n_paras, n_paras_kept). A document whose
+    every paragraph appeared earlier elsewhere survives with
+    text_clean = '' and n_paras_kept = 0 (downstream quality gates decide
+    whether to drop it — this operator never loses rows).
+
+    Winner selection is a groupBy on the paragraph fingerprint with a
+    min(struct(id, idx)) aggregate: partial aggregation collapses hot
+    fingerprints map-side, so pathological boilerplate (the exact thing
+    paragraph dedup exists to kill) costs one group, not a skewed window
+    sort. Reassembly is a groupBy(id) over paragraph-sized rows —
+    collect_list is bounded by a single document's paragraph count.
+    """
+    # \Q..\E: sep is a LITERAL separator, not a regex
+    pat = "\\Q" + sep + "\\E"
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             pat, -1)).alias("_idx", "_para"),
+    )
+    paras = fingerprint(paras, text_col="_para", out_col="_fp")
+    winners = paras.groupBy("_fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("_idx"))).alias("_w"))
+    kept = (paras.join(winners, "_fp")
+            .filter((F.col(id_col) == F.col("_w")[id_col])
+                    & (F.col("_idx") == F.col("_w._idx"))))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_para"))),
+                lambda s: s["_para"]),
+            sep).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    counts = df.select(
+        F.col(id_col),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                       pat, -1)).alias("n_paras"))
+    return (counts.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                    "n_paras",
+                    F.coalesce("n_paras_kept", F.lit(0))
+                    .cast("int").alias("n_paras_kept")))
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add `text_redacted` plus per-kind match counts. Emails, then IPv4
+    addresses, then NNN-NNN-NNNN phone numbers are replaced with typed
+    placeholder tokens (email first so an address-like mail domain is
+    counted once, as an email). Counts are measured on the ORIGINAL text.
+    Everything is JVM regexp inside whole-stage codegen."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return (df.withColumn("text_redacted", red)
+            .withColumn("n_emails", n_emails.cast("int"))
+            .withColumn("n_ipv4", n_ipv4.cast("int"))
+            .withColumn("n_phones", n_phones.cast("int")))
+
+
+def _word_ngrams(text_col: str, n: int):
+    """Array of space-joined word n-grams of the trimmed,
+    whitespace-split text; empty array when the text has < n words.
+    ASCII-literal transforms only — evaluates identically in DuckDB."""
+    return F.expr(
+        f"CASE WHEN size(split(trim(coalesce({text_col}, '')), '\\\\s+')) "
+        f">= {n} THEN transform("
+        f"  sequence(1, size(split(trim(coalesce({text_col}, '')), "
+        f"'\\\\s+')) - {n} + 1), "
+        f"  i -> array_join(slice(split(trim(coalesce({text_col}, '')), "
+        f"'\\\\s+'), i, {n}), ' ')) "
+        f"ELSE array() END")
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 3,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: per document, the number of DISTINCT word
+    n-grams it shares with any benchmark text, and a contaminated flag.
+
+    Returns (id_col, n_hits, contaminated) for every document with at
+    least n words (shorter documents carry no n-gram and are trivially
+    clean; they are excluded, mirroring the SQL oracle).
+
+    The benchmark n-gram set is distinct-ed and BROADCAST — held-out
+    eval suites are MB-scale against a 100 TB corpus, so the corpus side
+    never shuffles for the membership test; the only wide exchange is the
+    groupBy(doc) whose partial aggregate emits one row per document per
+    partition."""
+    bench = (benchmark
+             .select(F.explode(_word_ngrams(text_col, n)).alias("_gram"))
+             .distinct())
+    grams = (df
+             .select(F.col(id_col), F.explode(F.array_distinct(
+                 _word_ngrams(text_col, n))).alias("_gram")))
+    hits = (grams.join(F.broadcast(bench.withColumn("_hit", F.lit(1))),
+                       "_gram", "left")
+            .groupBy(id_col)
+            .agg(F.sum(F.coalesce("_hit", F.lit(0)))
+                 .cast("bigint").alias("n_hits")))
+    return hits.withColumn(
+        "contaminated", (F.col("n_hits") > 0).cast("int"))

@@ -1,0 +1,89 @@
+"""Scrubbing operators: paragraph dedup, PII redaction, decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llmap_spark.operators.scrub import (decontaminate, dedup_paragraphs,
+                                         redact_pii)
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta\n\ncommon boiler\n\ngamma"),
+         (1, "common boiler\n\ndelta"),
+         (2, "common boiler"),            # fully-duplicate doc survives empty
+         (3, "alpha beta\n\nalpha beta"),  # within-doc repeat: keep first
+         (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    assert got[0].text_clean == "alpha beta\n\ncommon boiler\n\ngamma"
+    assert got[1].text_clean == "delta"
+    assert got[2].text_clean == "" and got[2].n_paras_kept == 0
+    assert got[3].text_clean == ""  # both paras lost to doc 0's copy
+    assert got[3].n_paras == 2
+    assert got[4].text_clean == "" or got[4].text_clean is None
+    assert len(got) == 5  # never loses rows
+
+
+def test_paragraph_dedup_normalizes_whitespace_for_identity(spark):
+    docs = spark.createDataFrame(
+        [(0, "spaced   out"), (1, "spaced out")], "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    # doc 1's paragraph is a normalized duplicate of doc 0's
+    assert got[0].n_paras_kept == 1 and got[1].n_paras_kept == 0
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    docs = spark.createDataFrame(
+        [(0, "mail a@b.io and c.d+x@e-f.org, ip 10.0.0.1, call 555-123-4567"),
+         (1, "no pii here"),
+         (2, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert (got[0].n_emails, got[0].n_ipv4, got[0].n_phones) == (2, 1, 1)
+    assert got[0].text_redacted == \
+        "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>"
+    assert (got[1].n_emails, got[1].n_ipv4, got[1].n_phones) == (0, 0, 0)
+    assert got[1].text_redacted == "no pii here"
+    assert got[2].text_redacted == ""
+
+
+def test_redact_pii_email_wins_over_ip_like_domain(spark):
+    docs = spark.createDataFrame(
+        [(0, "x@10.0.0.1.com evil")], "doc_id long, text string")
+    r = redact_pii(docs).collect()[0]
+    # the ip-like mail domain redacts as ONE email, not an ip inside it
+    assert r.n_emails == 1 and r.text_redacted == "<EMAIL> evil"
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"),
+         (1, "totally clean words only here"),
+         (2, "a b")],  # < n words: no n-grams, excluded
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("quick brown fox benchmark sentence",)], "text string")
+    got = {r.doc_id: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert got[0].contaminated == 1 and got[0].n_hits == 1
+    assert got[1].contaminated == 0 and got[1].n_hits == 0
+    assert 2 not in got
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y z x y z x y z")], "doc_id long, text string")
+    bench = spark.createDataFrame([("x y z",), ("y z x",)], "text string")
+    r = decontaminate(docs, bench, n=3).collect()[0]
+    # doc grams: {x y z, y z x, z x y} -> 2 distinct hits despite repeats
+    assert r.n_hits == 2
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox")], "doc_id long, text string")
+    bench = spark.createDataFrame([("quick brown fox",)], "text string")
+    plan = decontaminate(docs, bench, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
