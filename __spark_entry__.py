@@ -236,6 +236,12 @@ def _q_pipeline_kept_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from llmap_spark.plans.training import kept_documents
 
+    return kept_documents(_planted_curation_docs(spark, sf_dir))
+
+
+def _planted_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arithmetic curation corpus shared by pipeline_kept_planted and
+    pipeline_curated_planted (construction documented on the former)."""
     def spaced(tag: str) -> str:
         # md5 hex -> 8 four-char words ("abcd ef01 ...") — JVM regexp
         return (f"regexp_replace(md5(concat('{tag}', "
@@ -250,8 +256,23 @@ def _q_pipeline_kept_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE concat(element_at(array('zq','Zq','zQ','ZQ'), "
         "cast(doc_id % 8 as int) + 1), "
         f"' the ', {spaced('a')}, {spaced('b')}) END")
-    planted = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
-    return kept_documents(planted)
+    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+
+
+def _q_pipeline_curated_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL product chain — keep-list plus scrubbing (plans/training.py
+    curated_corpus: quality -> exact dedup -> LSH -> components -> keep,
+    then decontaminate -> paragraph dedup -> PII redact) — hash-verified on
+    the same arithmetic corpus as pipeline_kept_planted. The keep-list
+    collapses to doc_id % 8 IN (0, 4, 7) by construction; the benchmark
+    slice is the doc_id % 16 = 7 singletons, and every scrub stage is an
+    exact SQL transform, so the oracle recomputes the whole deliverable
+    (final text + per-doc scrub stats) row for row."""
+    from llmap_spark.plans.training import curated_corpus
+
+    planted = _planted_curation_docs(spark, sf_dir)
+    bench = planted.filter(F.col("doc_id") % 16 == 7).select("text")
+    return curated_corpus(planted, benchmark=bench)
 
 
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_full": _q_extract_full,
         "pipeline_kept_docs": _q_pipeline_kept_docs,
         "pipeline_kept_planted": _q_pipeline_kept_planted,
+        "pipeline_curated_planted": _q_pipeline_curated_planted,
         # text analysis
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -1929,6 +1951,96 @@ def oracle_sql() -> dict[str, str]:
                 AS sum_disc_units,
               count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "pipeline_curated_planted": """
+            -- full-chain replication: the keep-list is arithmetic
+            -- (doc_id % 8 IN (0,4,7), derived on pipeline_kept_planted),
+            -- then each scrub stage is replayed exactly — distinct-3-gram
+            -- decontamination against the doc_id%16=7 benchmark slice,
+            -- single-paragraph first-occurrence dedup, and the scrub.py
+            -- regexp redaction (counts on the pre-redaction text)
+            WITH planted AS (
+              SELECT doc_id,
+                CASE doc_id % 8
+                  WHEN 6 THEN 'xx'
+                  WHEN 7 THEN 'the '
+                    || regexp_replace(md5('s' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                    || regexp_replace(md5('t' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                  WHEN 4 THEN 'the '
+                    || regexp_replace(md5('e' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                    || regexp_replace(md5('f' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                  WHEN 5 THEN 'the '
+                    || regexp_replace(md5('e' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                    || regexp_replace(md5('f' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                  ELSE (['zq','Zq','zQ','ZQ'])[CAST(doc_id % 8 AS int) + 1]
+                    || ' the '
+                    || regexp_replace(md5('a' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                    || regexp_replace(md5('b' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                END AS text
+              FROM documents),
+            kept AS (
+              SELECT doc_id, text FROM planted
+              WHERE doc_id % 8 IN (0, 4, 7)),
+            bw AS (
+              SELECT string_split_regex(trim(coalesce(text, '')), '\\s+')
+                AS ws
+              FROM planted WHERE doc_id % 16 = 7),
+            bg AS (
+              SELECT DISTINCT array_to_string(ws[u.i:u.i+2], ' ') AS gram
+              FROM bw, LATERAL unnest(generate_series(1, len(ws) - 2))
+                   AS u(i)
+              WHERE len(ws) >= 3),
+            kw AS (
+              SELECT doc_id,
+                string_split_regex(trim(coalesce(text, '')), '\\s+') AS ws
+              FROM kept),
+            kg AS (
+              SELECT DISTINCT doc_id,
+                array_to_string(ws[u.i:u.i+2], ' ') AS gram
+              FROM kw, LATERAL unnest(generate_series(1, len(ws) - 2))
+                   AS u(i)
+              WHERE len(ws) >= 3),
+            dirty AS (SELECT DISTINCT doc_id FROM kg JOIN bg USING (gram)),
+            clean AS (
+              SELECT k.doc_id, k.text FROM kept k
+              LEFT JOIN dirty d USING (doc_id) WHERE d.doc_id IS NULL),
+            -- planted texts carry no paragraph separator: each doc is one
+            -- paragraph, so dedup_paragraphs reduces to the corpus-wide
+            -- first-occurrence rule on the whole-text fingerprint
+            win AS (
+              SELECT doc_id, text, row_number() OVER (
+                PARTITION BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                ORDER BY doc_id) AS rn
+              FROM clean),
+            pd AS (
+              SELECT doc_id,
+                CASE WHEN rn = 1 THEN text ELSE '' END AS t2,
+                CASE WHEN rn = 1 THEN 1 ELSE 0 END AS nk
+              FROM win)
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(t2,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS text,
+              CAST(1 AS int) AS n_paras,
+              CAST(nk AS int) AS n_paras_kept,
+              CAST(len(regexp_extract_all(t2,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                AS int) AS n_emails,
+              CAST(len(regexp_extract_all(t2,
+                '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS int) AS n_ipv4,
+              CAST(len(regexp_extract_all(t2,
+                '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS int) AS n_phones
+            FROM pd
         """,
         "scrub_paragraph_dedup": """
             -- replays _scrub_paragraph_docs + dedup_paragraphs: build the

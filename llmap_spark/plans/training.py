@@ -9,12 +9,22 @@ families build toward, composed as one lazy DataFrame transform.
       -> connected components  (pointer-doubling min-label clusters)
       -> keep list              (drop every non-representative cluster member)
 
+and, for the training-ready deliverable (curated_corpus):
+
+      keep list
+      -> decontaminate          (drop docs sharing word n-grams with a
+                                 broadcast held-out benchmark)
+      -> paragraph dedup        (corpus-wide first-occurrence rewrite)
+      -> PII redaction          (typed placeholders, JVM regexp)
+
 Mirrors the reference's funnel shape end-to-end (coarse gate -> survivors ->
 refine -> combine; reference llmap.py:139-229) at corpus scale: every stage
 is a lazy transform, no driver-side data, and the expensive stages only see
-survivors of the cheap ones. The whole chain is genuinely non-SQL-expressible
-(hash signatures + an iterative fixpoint), so the driver records rows-only;
-pytest pins the kept-set semantics on planted data.
+survivors of the cheap ones. On arbitrary input the chain is non-SQL-
+expressible (hash signatures + an iterative fixpoint), so the corpus query
+records rows-only; the planted arithmetic twins (pipeline_kept_planted /
+pipeline_curated_planted) make every stage outcome deterministic and ARE
+hash-verified, and pytest pins the kept-set semantics on planted data.
 """
 
 from __future__ import annotations
@@ -72,3 +82,60 @@ def kept_documents(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col("node").alias(id_col))
     )
     return reps.join(near_dup_losers, id_col, "left_anti").select(id_col)
+
+
+def curated_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
+                   decontaminate_n: int = 3,
+                   paragraph_dedup: bool = True,
+                   redact: bool = True,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   **kept_kwargs) -> DataFrame:
+    """The deliverable: kept_documents' keep-list joined back to text and
+    scrubbed into a training-ready corpus.
+
+        kept_documents keep-list      (quality -> dedup -> LSH -> CC)
+          -> decontaminate            (drop docs sharing any word n-gram
+                                       with the held-out benchmark; skipped
+                                       when benchmark is None)
+          -> dedup_paragraphs         (corpus-wide first-occurrence
+                                       paragraph dedup; rewrites text)
+          -> redact_pii               (typed placeholder tokens)
+
+    Returns (id_col, text, n_paras, n_paras_kept, n_emails, n_ipv4,
+    n_phones) — `text` is the fully-scrubbed payload. Scale shape: the
+    keep-list attach is a left-semi equi-join on the id; decontamination
+    broadcasts the benchmark gram set (corpus side never shuffles for
+    membership); paragraph dedup is the one wide stage (fingerprint
+    groupBy + reassembly); redaction is map-only JVM regexp. Stages are
+    ordered cheapest-drop-first so the wide paragraph shuffle only sees
+    survivors.
+    """
+    from llmap_spark.operators.scrub import (decontaminate as _decon,
+                                             dedup_paragraphs, redact_pii)
+
+    kept = kept_documents(docs, id_col=id_col, text_col=text_col,
+                          **kept_kwargs)
+    out = docs.join(kept, id_col, "left_semi")
+    if benchmark is not None:
+        dirty = (_decon(out, benchmark, n=decontaminate_n, id_col=id_col,
+                        text_col=text_col)
+                 .filter(F.col("contaminated") == 1)
+                 .select(id_col))
+        out = out.join(dirty, id_col, "left_anti")
+    if paragraph_dedup:
+        out = (dedup_paragraphs(out, id_col=id_col, text_col=text_col)
+               .withColumnRenamed("text_clean", text_col))
+    else:
+        out = (out.select(id_col, text_col)
+               .withColumn("n_paras", F.lit(None).cast("int"))
+               .withColumn("n_paras_kept", F.lit(None).cast("int")))
+    if redact:
+        out = (redact_pii(out, text_col=text_col)
+               .drop(text_col)
+               .withColumnRenamed("text_redacted", text_col))
+    else:
+        out = (out.withColumn("n_emails", F.lit(None).cast("int"))
+               .withColumn("n_ipv4", F.lit(None).cast("int"))
+               .withColumn("n_phones", F.lit(None).cast("int")))
+    return out.select(id_col, text_col, "n_paras", "n_paras_kept",
+                      "n_emails", "n_ipv4", "n_phones")

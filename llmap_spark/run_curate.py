@@ -6,9 +6,12 @@
     python -m llmap_spark.run_curate \
         --input  /path/to/documents_parquet \
         --output /path/to/kept_parquet \
-        [--verify-jaccard 0.5] [--cores 32]
+        [--verify-jaccard 0.5] [--cores 32] \
+        [--emit corpus --benchmark /path/to/benchmark_parquet]
 
-Writes the kept (doc_id) list as parquet and prints a JSON summary line.
+Writes the kept (doc_id) list as parquet (or, with --emit corpus, the
+scrubbed training-ready text: decontaminated, paragraph-deduped, PII-
+redacted) and prints a JSON summary line.
 Unlike extraction, global dedup is NOT incrementally resumable (a new doc
 can demote a previously kept one), so this job is an overwrite, not a
 snapshot append — re-running recomputes the keep list for the full input.
@@ -36,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
                          "when set, the component iteration uses cluster "
                          "checkpoints that survive executor loss instead of "
                          "localCheckpoint")
+    ap.add_argument("--emit", choices=["kept", "corpus"], default="kept",
+                    help="'kept' writes the keep-list ids; 'corpus' writes "
+                         "the scrubbed training-ready text (keep-list -> "
+                         "decontaminate -> paragraph dedup -> PII redact)")
+    ap.add_argument("--benchmark", default=None,
+                    help="held-out benchmark parquet (text column) for "
+                         "decontamination; only used with --emit corpus")
     args = ap.parse_args(argv)
 
     from pyspark import SparkConf
@@ -54,11 +64,23 @@ def main(argv: list[str] | None = None) -> int:
 
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
-    kept = kept_documents(docs, id_col=args.id_col, text_col=args.text_col,
-                          verify_jaccard=args.verify_jaccard,
-                          cc_reliable=args.checkpoint_dir is not None,
-                          cc_checkpoint_dir=args.checkpoint_dir)
-    kept.write.mode("overwrite").parquet(args.output)
+    if args.emit == "corpus":
+        from llmap_spark.plans.training import curated_corpus
+
+        bench = (spark.read.parquet(args.benchmark)
+                 if args.benchmark else None)
+        out = curated_corpus(docs, benchmark=bench, id_col=args.id_col,
+                             text_col=args.text_col,
+                             verify_jaccard=args.verify_jaccard,
+                             cc_reliable=args.checkpoint_dir is not None,
+                             cc_checkpoint_dir=args.checkpoint_dir)
+    else:
+        out = kept_documents(docs, id_col=args.id_col,
+                             text_col=args.text_col,
+                             verify_jaccard=args.verify_jaccard,
+                             cc_reliable=args.checkpoint_dir is not None,
+                             cc_checkpoint_dir=args.checkpoint_dir)
+    out.write.mode("overwrite").parquet(args.output)
     n_kept = spark.read.parquet(args.output).count()
     print(json.dumps({
         "status": "written", "input_rows": n_in, "kept_rows": n_kept,

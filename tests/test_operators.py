@@ -224,6 +224,12 @@ def test_connected_components_vs_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+    # both execution strategies produce the identical labeling: the
+    # default adaptive driver fast path (taken here: 14 directed edges)
+    # and the forced distributed pointer-doubling loop
+    dist = {r.node: r.component for r in
+            connected_components(pairs, driver_threshold=0).collect()}
+    assert dist == want
 
 
 # -- similarity ---------------------------------------------------------------
@@ -722,6 +728,39 @@ def test_training_pipeline_respects_text_col(spark, docs):
     assert len(kept) >= 20
 
 
+def test_curated_corpus_composes_scrub_stages(spark, docs):
+    """The deliverable chain: keep-list survivors come back with text,
+    contaminated docs drop, cross-doc duplicate paragraphs vanish, and PII
+    redacts — all in one lazy plan."""
+    from llmap_spark.plans.training import curated_corpus
+
+    base = docs.limit(20)
+    pii = spark.createDataFrame(
+        [(500000, "a perfectly fine long document about sorting that asks "
+                  "you to write to someone@example.com for more details "
+                  "and enough words to pass every quality gate today")],
+        "doc_id long, text string")
+    allr = base.select("doc_id", "text").unionByName(pii)
+    # benchmark = doc 0's text: doc 0 must drop as contaminated
+    bench = base.filter("doc_id = 0").select("text")
+    out = {r.doc_id: r for r in
+           curated_corpus(allr, benchmark=bench).collect()}
+    assert 0 not in out                      # decontaminated away
+    assert 500000 in out
+    assert "<EMAIL>" in out[500000].text     # redacted
+    assert "someone@example.com" not in out[500000].text
+    assert out[500000].n_emails == 1
+    # quality-gate failures from the sf0.001 corpus prefix (see
+    # test_training_pipeline_kept_documents): 14 fails the gate
+    assert 14 not in out
+    # stages toggle off cleanly
+    plain = {r.doc_id: r for r in
+             curated_corpus(allr, paragraph_dedup=False,
+                            redact=False).collect()}
+    assert plain[500000].n_emails is None
+    assert "someone@example.com" in plain[500000].text
+
+
 def test_connected_components_nonconvergence_raises(spark):
     from llmap_spark.operators.dedup import connected_components
 
@@ -730,9 +769,11 @@ def test_connected_components_nonconvergence_raises(spark):
     chain = [(i, i + 1) for i in range(60)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2, strict=True)
+        connected_components(pairs, max_iter=2, strict=True,
+                             driver_threshold=0)
     # non-strict returns (possibly split) labels without raising
-    out = connected_components(pairs, max_iter=2, strict=False)
+    out = connected_components(pairs, max_iter=2, strict=False,
+                               driver_threshold=0)
     assert out.count() == 61
 
 
@@ -743,7 +784,8 @@ def test_connected_components_long_path_converges_fast(spark):
 
     chain = [(i, i + 1) for i in range(999)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
-    out = connected_components(pairs, max_iter=16, strict=True)
+    out = connected_components(pairs, max_iter=16, strict=True,
+                               driver_threshold=0)
     comps = {r.component for r in out.collect()}
     assert comps == {0}
     assert out.count() == 1000
@@ -777,7 +819,7 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     want = {r.node: r.component for r in connected_components(pairs).collect()}
     got = {r.node: r.component for r in
-           connected_components(pairs, reliable=True,
+           connected_components(pairs, reliable=True, driver_threshold=0,
                                 checkpoint_dir=str(tmp_path / "ck")).collect()}
     assert got == want
 

@@ -121,3 +121,26 @@ def test_run_curate_cli(spark, tmp_path):
     assert summary["kept_rows"] == spark.read.parquet(out).count()
     assert summary["kept_rows"] + summary["dropped_rows"] == 500
     assert 0 < summary["kept_rows"] < 500
+
+
+def test_run_curate_cli_emit_corpus(spark, tmp_path):
+    """--emit corpus writes the scrubbed training-ready text: same keep-set
+    ids as the keep-list mode, text + scrub-stat columns attached."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from llmap_spark import run_curate
+
+    out = str(tmp_path / "corpus")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_curate.main(
+            ["--input", "/root/testdata/sf0.001/documents.parquet",
+             "--output", out, "--cores", "8", "--emit", "corpus"])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    got = spark.read.parquet(out)
+    assert summary["kept_rows"] == got.count() > 0
+    assert {"doc_id", "text", "n_paras", "n_paras_kept", "n_emails",
+            "n_ipv4", "n_phones"} == set(got.columns)
