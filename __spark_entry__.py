@@ -196,12 +196,35 @@ def _q_sample_seeded_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     in any engine — taken mod 10^4 against the rate. Reproducible across
     runs, engines, AND partitionings (a property Spark's sample() lacks:
     its RNG is seeded per partition index)."""
-    seed, rate_bp = 42, 500  # 5.00% in basis points
-    coin = F.conv(F.substring(F.md5(
-        F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))), 1, 8),
-        16, 10).cast("long") % 10_000
-    return _docs(spark, sf_dir).filter(coin < rate_bp) \
+    from llmap_spark.operators.sampling import bernoulli_sample
+
+    return bernoulli_sample(_docs(spark, sf_dir), rate_bp=500, seed=42) \
         .select("doc_id", "lang")
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalance sampling (sampling.stratified_sample): per-stratum
+    keep rates in one CASE + portable-coin gate, map-only. The training-data
+    move this exists for: downsample the dominant language, keep the tail."""
+    from llmap_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), {"en": 8000, "de": 2500, "fr": 1000},
+        default_bp=250).select("doc_id", "lang")
+
+
+def _q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional sampling (sampling.weighted_sample): each doc's
+    keep rate is its own integer column — here token count scaled and
+    capped — so high-quality documents survive preferentially. Coin and
+    weight are both engine-exact, hence hash-verified."""
+    from llmap_spark.operators.sampling import weighted_sample
+    from llmap_spark.operators.textstats import token_count
+
+    d = _docs(spark, sf_dir).withColumn(
+        "w_bp",
+        F.least(F.lit(9500), token_count(F.col("text")) * 25).cast("int"))
+    return weighted_sample(d, "w_bp").select("doc_id", "w_bp")
 
 
 def _q_pipeline_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1176,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": _q_sample_deterministic,
         "sample_seeded": _q_sample_seeded,
         "sample_seeded_portable": _q_sample_seeded_portable,
+        "sample_stratified": _q_sample_stratified,
+        "sample_quality_weighted": _q_sample_quality_weighted,
         "explode_chunks": _q_explode_chunks,
         "union_passthrough": _q_union_passthrough,
         # similarity search
@@ -1849,6 +1874,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS varchar)), 1, 8))
                   ::BIGINT % 10000 < 500
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS varchar)), 1, 8))
+                  ::BIGINT % 10000 <
+                  CASE WHEN lang = 'en' THEN 8000
+                       WHEN lang = 'de' THEN 2500
+                       WHEN lang = 'fr' THEN 1000 ELSE 250 END
+        """,
+        "sample_quality_weighted": f"""
+            WITH f AS (
+              SELECT doc_id,
+                CASE WHEN length({NORM_SQL}) = 0 THEN 0
+                  ELSE CAST(length({NORM_SQL})
+                    - length(replace({NORM_SQL}, ' ', '')) AS int) + 1
+                END AS nt
+              FROM documents)
+            SELECT doc_id, CAST(least(9500, nt * 25) AS int) AS w_bp
+            FROM f
+            WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS varchar)), 1, 8))
+                  ::BIGINT % 10000 < least(9500, nt * 25)
         """,
         "explode_chunks": f"""
             WITH d AS (SELECT doc_id, {w_norm} AS w FROM documents),

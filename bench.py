@@ -42,6 +42,7 @@ def main() -> int:
 
     from llmap_spark.operators.dedup import (exact_dedup,
                                              minhash_lsh_candidates)
+    from llmap_spark.operators.scrub import dedup_paragraphs, redact_pii
     from llmap_spark.operators.similarity import brute_force_topk
     from llmap_spark.operators.textstats import (fingerprint, lang_id,
                                                  quality_features)
@@ -74,6 +75,9 @@ def main() -> int:
         ("extract_staged", lambda: noop(extract(pages, ExtractConfig(fuse=False)))),
         ("textstats", lambda: noop(
             fingerprint(quality_features(lang_id(docs))))),
+        # corpus scrubbing deliverable shape (paragraph dedup -> redact)
+        ("scrub", lambda: noop(redact_pii(
+            dedup_paragraphs(docs).withColumnRenamed("text_clean", "text")))),
         ("dedup_exact", lambda: noop(exact_dedup(docs))),
         # materialize=True: the lazy default would leave the signature
         # cache persisted for the rest of the bench session
