@@ -184,6 +184,45 @@ def write_wet(df, out_dir: str,
     return len(_glob.glob(os.path.join(out_dir, "part-*.warc.wet.gz")))
 
 
+def read_wet(spark, path: str):
+    """WET archives under `path` -> DataFrame(url, warc_ts, extracted_text,
+    wet_path): the inverse of write_wet, so a WET deliverable round-trips
+    back into the engine (e.g. feeding the scrub/dedup/sampling family
+    without re-extracting). Same one-task-per-archive scan as read_warc
+    (gzip members are not block-splittable); conversion-record payloads
+    decode as UTF-8 with replacement (total on any bytes)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "warc_date": [], "extracted_text": [],
+                    "wet_path": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for url, date, payload in parse_warc(
+                        content, record_type=b"conversion"):
+                    rows["url"].append(url)
+                    rows["warc_date"].append(date)
+                    rows["extracted_text"].append(
+                        payload.decode("utf-8", "replace"))
+                    rows["wet_path"].append(p)
+            yield pd.DataFrame(rows)
+
+    parsed = files.select("path", "content").mapInPandas(
+        parse,
+        "url string, warc_date string, extracted_text string, "
+        "wet_path string")
+    return parsed.select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("warc_ts"),
+        "extracted_text", "wet_path")
+
+
 def read_warc(spark, path: str):
     """WARC archives under `path` -> DataFrame(url, warc_ts, html, warc_path).
 

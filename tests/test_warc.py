@@ -98,6 +98,11 @@ def test_wet_sink_roundtrips_extraction(spark, tmp_path):
             got[url] = payload.decode("utf-8")
     want = {r.url: r.extracted_text for r in ex.collect()}
     assert got == want
+    # and the distributed reader re-ingests the deliverable identically
+    back = {r.url: r.extracted_text
+            for r in warc.read_wet(spark, str(out / "*.warc.wet.gz"))
+            .collect()}
+    assert back == want
 
 
 def test_run_extract_cli_warc_to_wet(spark, tmp_path):
