@@ -2071,22 +2071,31 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN rn = 1 THEN text ELSE '' END AS t2,
                 CASE WHEN rn = 1 THEN 1 ELSE 0 END AS nk
               FROM win)
+            , r1 AS (
+              -- staged counting mirrors scrub.redact_pii: each kind is
+              -- counted on the text its replacement operates on
+              SELECT doc_id, nk, t2,
+                regexp_replace(t2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS u1
+              FROM pd),
+            r2 AS (
+              SELECT *, regexp_replace(u1,
+                '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS u2
+              FROM r1)
             SELECT doc_id,
-              regexp_replace(regexp_replace(regexp_replace(t2,
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                '<EMAIL>', 'g'),
-                '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+              regexp_replace(u2,
                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS text,
               CAST(1 AS int) AS n_paras,
               CAST(nk AS int) AS n_paras_kept,
               CAST(len(regexp_extract_all(t2,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                 AS int) AS n_emails,
-              CAST(len(regexp_extract_all(t2,
+              CAST(len(regexp_extract_all(u1,
                 '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS int) AS n_ipv4,
-              CAST(len(regexp_extract_all(t2,
+              CAST(len(regexp_extract_all(u2,
                 '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS int) AS n_phones
-            FROM pd
+            FROM r2
         """,
         "scrub_paragraph_dedup": """
             -- replays _scrub_paragraph_docs + dedup_paragraphs: build the
@@ -2150,21 +2159,30 @@ def oracle_sql() -> dict[str, str]:
                      || '-0199 soon'
                    ELSE '' END AS t
               FROM documents)
+            , staged AS (
+              -- count each kind on the text its replacement operates on
+              -- (n_<kind> == placeholders inserted), mirroring scrub.py
+              SELECT doc_id, t,
+                regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t1
+              FROM built),
+            staged2 AS (
+              SELECT *, regexp_replace(t1,
+                '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t2
+              FROM staged)
             SELECT doc_id,
-              regexp_replace(regexp_replace(regexp_replace(t,
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                '<EMAIL>', 'g'),
-                '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+              regexp_replace(t2,
                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')
                 AS text_redacted,
               CAST(len(regexp_extract_all(t,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                 AS int) AS n_emails,
-              CAST(len(regexp_extract_all(t,
+              CAST(len(regexp_extract_all(t1,
                 '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS int) AS n_ipv4,
-              CAST(len(regexp_extract_all(t,
+              CAST(len(regexp_extract_all(t2,
                 '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS int) AS n_phones
-            FROM built
+            FROM staged2
         """,
         "scrub_decontaminate": """
             -- distinct word-3-gram intersection against the doc_id%97

@@ -425,7 +425,11 @@ def _union_find_components(spark, edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for a, b in edges.collect():
+    # Arrow collect (toPandas) + zip over columns: ~16 B/edge on the wire
+    # and no per-row pyspark Row objects (collect() would cost ~100+ B per
+    # edge in boxed Rows before union-find even starts)
+    pdf = edges.toPandas()
+    for a, b in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -450,7 +454,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          strict: bool = True,
                          reliable: bool = False,
                          checkpoint_dir: str | None = None,
-                         driver_threshold: int = 1_000_000) -> DataFrame:
+                         driver_threshold: int = 250_000) -> DataFrame:
     """Duplicate clusters from candidate pairs: min-label propagation with
     POINTER DOUBLING (label = smallest reachable id).
 
@@ -485,12 +489,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     Adaptive small-graph fast path: after the (always-paid) one-time edge
     materialization, if the DIRECTED edge count is <= driver_threshold the
     component labels are computed by a driver-side union-find on one
-    bounded collect — identical labels (component = min reachable id),
-    zero iterative rounds. Near-dup candidate edges are typically a tiny
-    fraction of corpus rows even at 100 TB, so most runs take this path;
-    graphs past the threshold (1M directed edges ~ 16 MB of ids) run the
-    distributed loop. Pass driver_threshold=0 to force the distributed
-    path (the pytest pinning round-count/convergence semantics does).
+    bounded Arrow collect — identical labels (component = min reachable
+    id), zero iterative rounds. Near-dup candidate edges are typically a
+    tiny fraction of corpus rows even at 100 TB, so most runs take this
+    path; bigger graphs run the distributed loop. The default (250k
+    directed edges) is sized for the PYTHON-side cost, which dominates:
+    the Arrow frame itself is ~4 MB, but the union-find's parent dict
+    boxes up to 2 ids per edge (~60-100 MB at the default) — a 1g-driver-
+    safe bound. Pass driver_threshold=0 to force the distributed path
+    (the pytest pinning round-count/convergence semantics does).
     """
     spark = pairs.sparkSession
     if reliable:

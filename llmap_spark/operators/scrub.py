@@ -99,34 +99,43 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add `text_redacted` plus per-kind match counts. Emails, then IPv4
     addresses, then NNN-NNN-NNNN phone numbers are replaced with typed
-    placeholder tokens (email first so an address-like mail domain is
-    counted once, as an email). Counts are measured on the ORIGINAL text.
+    placeholder tokens (email first so an address-like mail domain redacts
+    once, as an email). Each count is measured on the text its replacement
+    operates on, so n_<kind> always equals the number of <KIND> tokens
+    inserted (an IP inside an email domain is NOT also counted as an IP).
     Everything is JVM regexp inside whole-stage codegen."""
     t = F.coalesce(F.col(text_col), F.lit(""))
+    red1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red2 = F.regexp_replace(red1, IPV4_RE, "<IP>")
+    red3 = F.regexp_replace(red2, PHONE_RE, "<PHONE>")
     n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
-    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
-    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
-    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
-    red = F.regexp_replace(red, IPV4_RE, "<IP>")
-    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
-    return (df.withColumn("text_redacted", red)
+    n_ipv4 = F.size(F.regexp_extract_all(red1, F.lit(IPV4_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(red2, F.lit(PHONE_RE), F.lit(0)))
+    return (df.withColumn("text_redacted", red3)
             .withColumn("n_emails", n_emails.cast("int"))
             .withColumn("n_ipv4", n_ipv4.cast("int"))
             .withColumn("n_phones", n_phones.cast("int")))
 
 
-def _word_ngrams(text_col: str, n: int):
-    """Array of space-joined word n-grams of the trimmed,
-    whitespace-split text; empty array when the text has < n words.
+def _word_ngrams(words_col: str, n: int):
+    """Array of space-joined word n-grams over an ALREADY-SPLIT word-array
+    column; empty array when it has < n words. Operating on a projected
+    array (split runs once per row) keeps gram extraction O(words x n) —
+    referencing the split inside the transform lambda would re-run the
+    full-text regexp split once per gram position (O(words^2) per doc,
+    higher-order functions get no subexpression caching).
     ASCII-literal transforms only — evaluates identically in DuckDB."""
     return F.expr(
-        f"CASE WHEN size(split(trim(coalesce({text_col}, '')), '\\\\s+')) "
-        f">= {n} THEN transform("
-        f"  sequence(1, size(split(trim(coalesce({text_col}, '')), "
-        f"'\\\\s+')) - {n} + 1), "
-        f"  i -> array_join(slice(split(trim(coalesce({text_col}, '')), "
-        f"'\\\\s+'), i, {n}), ' ')) "
+        f"CASE WHEN size({words_col}) >= {n} THEN transform("
+        f"  sequence(1, size({words_col}) - {n} + 1), "
+        f"  i -> array_join(slice({words_col}, i, {n}), ' ')) "
         f"ELSE array() END")
+
+
+def _with_words(df: DataFrame, text_col: str, out_col: str) -> DataFrame:
+    return df.withColumn(
+        out_col,
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
 
 
 def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 3,
@@ -144,12 +153,12 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 3,
     never shuffles for the membership test; the only wide exchange is the
     groupBy(doc) whose partial aggregate emits one row per document per
     partition."""
-    bench = (benchmark
-             .select(F.explode(_word_ngrams(text_col, n)).alias("_gram"))
+    bench = (_with_words(benchmark, text_col, "_bw")
+             .select(F.explode(_word_ngrams("_bw", n)).alias("_gram"))
              .distinct())
-    grams = (df
+    grams = (_with_words(df.select(id_col, text_col), text_col, "_dw")
              .select(F.col(id_col), F.explode(F.array_distinct(
-                 _word_ngrams(text_col, n))).alias("_gram")))
+                 _word_ngrams("_dw", n))).alias("_gram")))
     hits = (grams.join(F.broadcast(bench.withColumn("_hit", F.lit(1))),
                        "_gram", "left")
             .groupBy(id_col)

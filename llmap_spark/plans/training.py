@@ -117,6 +117,13 @@ def curated_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
                           **kept_kwargs)
     out = docs.join(kept, id_col, "left_semi")
     if benchmark is not None:
+        # `out` feeds BOTH the gram explode and the anti-join left side:
+        # persist it or the scan + quality gate + keep-list joins evaluate
+        # twice in one plan (registered for release_persisted, same
+        # contract as the reps persist in kept_documents)
+        from llmap_spark.cache import register_persisted
+
+        out = register_persisted(out.persist())
         dirty = (_decon(out, benchmark, n=decontaminate_n, id_col=id_col,
                         text_col=text_col)
                  .filter(F.col("contaminated") == 1)

@@ -94,8 +94,10 @@ def parse_warc(data: bytes | None,
             continue
         url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
         date = headers.get(b"warc-date", b"").decode("ascii", "replace")
-        # response content is an HTTP message: strip its header block
-        if body[:5] == b"HTTP/":
+        # response content is an HTTP message: strip its header block —
+        # ONLY for response records (a conversion record's payload is the
+        # extracted text itself, which may legitimately start with "HTTP/")
+        if record_type == b"response" and body[:5] == b"HTTP/":
             he = body.find(b"\r\n\r\n")
             body = body[he + 4:] if he >= 0 else b""
         out.append((url, date, body))

@@ -51,10 +51,17 @@ def test_redact_pii_counts_and_replaces(spark):
 
 def test_redact_pii_email_wins_over_ip_like_domain(spark):
     docs = spark.createDataFrame(
-        [(0, "x@10.0.0.1.com evil")], "doc_id long, text string")
-    r = redact_pii(docs).collect()[0]
-    # the ip-like mail domain redacts as ONE email, not an ip inside it
-    assert r.n_emails == 1 and r.text_redacted == "<EMAIL> evil"
+        [(0, "x@10.0.0.1.com evil"),
+         (1, "call 555-123-4567@site.example today")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    # the ip-like mail domain redacts as ONE email, not an ip inside it —
+    # and the counts agree with the placeholders actually inserted
+    assert got[0].n_emails == 1 and got[0].text_redacted == "<EMAIL> evil"
+    assert got[0].n_ipv4 == 0 and got[0].n_phones == 0
+    # a phone swallowed by the email match is not also counted as a phone
+    assert got[1].n_emails == 1 and got[1].n_phones == 0
+    assert got[1].text_redacted == "call <EMAIL> today"
 
 
 def test_decontaminate_flags_shared_ngrams(spark):
@@ -86,4 +93,4 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     bench = spark.createDataFrame([("quick brown fox",)], "text string")
     plan = decontaminate(docs, bench, n=3)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -105,6 +105,19 @@ def test_wet_sink_roundtrips_extraction(spark, tmp_path):
     assert back == want
 
 
+def test_wet_text_starting_with_http_survives():
+    """The HTTP-header strip is a RESPONSE-record rule: a conversion
+    record whose extracted text begins with 'HTTP/' must come back
+    verbatim, not emptied/truncated by the header heuristic."""
+    texts = ["HTTP/2 is a protocol revision described here",
+             "HTTP/1.1 pipelining\r\n\r\nwas rarely deployed"]
+    data = warc.make_wet([(f"https://d{i}.example/p", "2024-01-01T00:00:00Z",
+                           t) for i, t in enumerate(texts)])
+    got = [p.decode("utf-8") for _, _, p in
+           warc.parse_warc(data, record_type=b"conversion")]
+    assert got == texts
+
+
 def test_run_extract_cli_warc_to_wet(spark, tmp_path):
     """The full crawl-native CLI path: WARC archives in -> snapshot commit
     (resumable) -> WET archives out, with re-run a no-op."""
