@@ -558,6 +558,49 @@ def _q_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_host_edges(pages)
 
 
+def _q_link_nofollow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=nofollow-aware anchor extraction (links.extract_anchor_links),
+    hash-verified by construction: anchors (follow, lowercase-nofollow,
+    SHOUTED-attr nofollow) are planted from doc_id arithmetic and the
+    oracle reconstructs (href, nofollow, position) per kind."""
+    from llmap_spark.operators.links import extract_anchor_links
+
+    html = F.expr(
+        "concat('<a href=\"https://f', cast(doc_id % 40 as string), "
+        "'.example/a\">x</a>', "
+        "CASE WHEN doc_id % 3 = 0 THEN concat("
+        "'<a rel=\"nofollow\" href=\"https://n', "
+        "cast(doc_id % 25 as string), '.example/b\">y</a>') ELSE '' END, "
+        "CASE WHEN doc_id % 4 = 0 THEN concat("
+        "'<A REL=\"NOFOLLOW\" HREF=\"https://m', "
+        "cast(doc_id % 10 as string), '.example/c\">z</A>') ELSE '' END)")
+    return (_docs(spark, sf_dir).select("doc_id", html.alias("_h"))
+            .select("doc_id",
+                    F.posexplode(extract_anchor_links(F.col("_h")))
+                    .alias("link_idx", "_l"))
+            .select("doc_id", "link_idx",
+                    F.col("_l.href").alias("href"),
+                    F.col("_l.nofollow").cast("int").alias("nofollow")))
+
+
+def _q_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast host-blocklist gate (links.filter_blocklisted_hosts),
+    hash-verified by construction: urls live on host h(doc_id % 50), the
+    blocklist is built from the documents whose host index is < 10, so the
+    surviving set is pure arithmetic. The corpus side never shuffles
+    (left-anti broadcast hash join, pinned by pytest)."""
+    from llmap_spark.operators.links import (filter_blocklisted_hosts,
+                                             host_of)
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("concat('https://h', cast(doc_id % 50 as string), "
+               "'.example/p', cast(doc_id as string))").alias("url"))
+    bl = (d.filter(F.col("doc_id") % 50 < 10)
+          .select(host_of(F.col("url")).alias("host")))
+    return filter_blocklisted_hosts(d, bl)
+
+
 def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization verified by construction: messy urls (mixed
     scheme/host case, default and non-default ports, fragments) are built
@@ -1183,6 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link graph
         "link_extract_roundtrip": _q_link_extract_roundtrip,
         "link_hosts": _q_link_hosts,
+        "link_nofollow": _q_link_nofollow,
+        "host_blocklist": _q_host_blocklist,
         "url_canonicalize": _q_url_canonicalize,
         # reference operator analogues
         "collate_binpack": _q_collate_binpack,
@@ -1550,6 +1595,34 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
                      AS extracted_text
             FROM documents
+        """,
+        "link_nofollow": """
+            -- reconstructs the planted anchors per kind with their
+            -- in-document positions: follow anchor always at 0; lowercase
+            -- nofollow at 1 when doc_id%3=0; shouted-attr nofollow after
+            -- any preceding anchors when doc_id%4=0
+            SELECT doc_id, CAST(0 AS int) AS link_idx,
+              'https://f' || CAST(doc_id % 40 AS varchar) || '.example/a'
+                AS href,
+              CAST(0 AS int) AS nofollow
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(1 AS int),
+              'https://n' || CAST(doc_id % 25 AS varchar) || '.example/b',
+              CAST(1 AS int)
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS int),
+              'https://m' || CAST(doc_id % 10 AS varchar) || '.example/c',
+              CAST(1 AS int)
+            FROM documents WHERE doc_id % 4 = 0
+        """,
+        "host_blocklist": """
+            SELECT doc_id,
+              'https://h' || CAST(doc_id % 50 AS varchar) || '.example/p'
+                || CAST(doc_id AS varchar) AS url
+            FROM documents WHERE doc_id % 50 >= 10
         """,
         "url_canonicalize": """
             SELECT doc_id,

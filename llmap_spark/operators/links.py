@@ -35,6 +35,44 @@ def extract_hrefs(html_str: Column) -> Column:
     return F.regexp_extract_all(html_str, F.lit(HREF_PATTERN), F.lit(1))
 
 
+ANCHOR_PATTERN = r"(?i)<a\s[^>]*>"
+NOFOLLOW_PATTERN = r'(?i)rel="[^"]*nofollow[^"]*"'
+
+
+def extract_anchor_links(html_str: Column) -> Column:
+    """Array of (href, nofollow) structs for every double-quoted-href
+    anchor open tag, in document order. rel="nofollow" awareness is the
+    crawl-hygiene semantic the bare href extractor lacks: nofollow edges
+    carry no endorsement, so PageRank-style signals and frontier builders
+    must be able to drop them. Same engine-portable regexp discipline as
+    HREF_PATTERN (anchor tags found with one regexp_extract_all; per-tag
+    href/rel probes run over short tag strings, not the whole document)."""
+    # attr probes are (?i) to match the tag scan (legacy pages shout
+    # <A HREF=...>); the document-level extract_hrefs keeps the stricter
+    # lowercase contract its planted oracle pins
+    href_ci = "(?i)" + HREF_PATTERN
+    tags = F.regexp_extract_all(html_str, F.lit(ANCHOR_PATTERN), F.lit(0))
+    with_href = F.filter(tags, lambda t: t.rlike(href_ci))
+    return F.transform(with_href, lambda t: F.struct(
+        F.regexp_extract(t, href_ci, 1).alias("href"),
+        t.rlike(NOFOLLOW_PATTERN).alias("nofollow")))
+
+
+def filter_blocklisted_hosts(df: DataFrame, blocklist: DataFrame,
+                             url_col: str = "url",
+                             host_col: str = "host") -> DataFrame:
+    """Drop rows whose url host appears in the blocklist — the spam-/
+    adult-domain gate every crawl curation pipeline runs (UT1-style lists
+    are ~MB scale). The blocklist is lowercased, distinct-ed, and
+    BROADCAST into a left-anti hash join, so the corpus side never
+    shuffles; schema is preserved."""
+    bl = (blocklist.select(F.lower(F.col(host_col)).alias("_bl_host"))
+          .distinct())
+    return (df.withColumn("_bl_host", host_of(F.col(url_col)))
+            .join(F.broadcast(bl), "_bl_host", "left_anti")
+            .drop("_bl_host"))
+
+
 def host_of(url: Column) -> Column:
     """Host part of an absolute http(s) url; '' for relative links.
     Scheme matching is case-insensitive (RFC 3986; 'HTTP://HOST' is valid

@@ -542,6 +542,42 @@ def test_link_host_edges_planted(spark):
     }
 
 
+def test_extract_anchor_links_nofollow(spark):
+    from llmap_spark.operators.links import extract_anchor_links
+
+    html = ('<p>x</p><a href="https://a.example/1">one</a>'
+            '<a rel="nofollow" href="https://b.example/2">two</a>'
+            '<A HREF="https://c.example/3" REL="me NOFOLLOW">three</A>'
+            '<a rel="author" href="https://d.example/4">four</a>'
+            '<a name="anchor-no-href">five</a>')
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = df.select(F.explode(extract_anchor_links(F.col("html")))
+                     .alias("l")).select("l.href", "l.nofollow").collect()
+    got = [(r.href, r.nofollow) for r in rows]
+    assert got == [("https://a.example/1", False),
+                   ("https://b.example/2", True),
+                   ("https://c.example/3", True),  # attr case-insensitive
+                   ("https://d.example/4", False)]
+
+
+def test_filter_blocklisted_hosts_broadcast_anti_join(spark):
+    from llmap_spark.operators.links import filter_blocklisted_hosts
+
+    df = spark.createDataFrame(
+        [(1, "https://Spam.Example/p"), (2, "https://good.example/p"),
+         (3, "relative/path"), (4, "https://spam.example:443/q")],
+        "doc_id long, url string")
+    bl = spark.createDataFrame([("SPAM.example",)], "host string")
+    out = filter_blocklisted_hosts(df, bl)
+    assert {r.doc_id for r in out.collect()} == {2, 3, 4}
+    # host matching is case-insensitive both sides; port-qualified hosts
+    # are distinct keys (doc 4 survives — list ports explicitly to block
+    # them); schema untouched
+    assert out.columns == ["doc_id", "url"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_canonical_url_rules(spark):
     from llmap_spark.operators.links import canonical_url
 
