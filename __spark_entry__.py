@@ -601,6 +601,21 @@ def _q_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_blocklisted_hosts(d, bl)
 
 
+def _q_host_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reputation aggregation (links.host_quality_stats): urls are
+    planted on host h(doc_id % 25) over the REAL document texts, so the
+    per-host integer quality sums exercise the whole quality kernel and
+    the oracle recomputes them with the quality_score formulas + a
+    GROUP BY on the host arithmetic."""
+    from llmap_spark.operators.links import host_quality_stats
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.expr("concat('https://h', cast(doc_id % 25 as string), "
+               "'.example/p', cast(doc_id as string))").alias("url"))
+    return host_quality_stats(d)
+
+
 def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization verified by construction: messy urls (mixed
     scheme/host case, default and non-default ports, fragments) are built
@@ -1228,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hosts": _q_link_hosts,
         "link_nofollow": _q_link_nofollow,
         "host_blocklist": _q_host_blocklist,
+        "host_quality_stats": _q_host_quality_stats,
         "url_canonicalize": _q_url_canonicalize,
         # reference operator analogues
         "collate_binpack": _q_collate_binpack,
@@ -1623,6 +1639,39 @@ def oracle_sql() -> dict[str, str]:
               'https://h' || CAST(doc_id % 50 AS varchar) || '.example/p'
                 || CAST(doc_id AS varchar) AS url
             FROM documents WHERE doc_id % 50 >= 10
+        """,
+        "host_quality_stats": """
+            -- quality_score's per-doc formulas aggregated over the
+            -- planted host arithmetic (integer sums only)
+            WITH q AS (SELECT doc_id,
+              'h' || CAST(doc_id % 25 AS varchar) || '.example' AS host,
+              CAST(length(trim(regexp_replace(text,'\\s+',' ','g'))) AS int)
+                AS sq_len,
+              CASE WHEN length(trim(regexp_replace(text,'\\s+',' ','g'))) = 0 THEN 0
+                ELSE CAST(length(trim(regexp_replace(text,'\\s+',' ','g')))
+                  - length(replace(trim(regexp_replace(text,'\\s+',' ','g')),' ','')) AS int) + 1
+                END AS n_tokens_t,
+              CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ','')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' and ','')))/5
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' of ','')))/4
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' to ','')))/4
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' a ','')))/3
+                + (length(' '||text||' ') - length(replace(' '||text||' ',' in ','')))/4 AS int) AS n_stop_hits
+              FROM documents),
+            f AS (SELECT *,
+              CASE WHEN n_tokens_t > 0
+                THEN CAST(floor((sq_len - (n_tokens_t - 1)) * 100 / n_tokens_t) AS int)
+                ELSE 0 END AS mwl_x100
+              FROM q)
+            SELECT host, count(*) AS n_docs,
+              CAST(sum(CASE WHEN n_tokens_t >= 10
+                         AND mwl_x100 BETWEEN 200 AND 1200
+                         AND n_stop_hits >= 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+              CAST(sum(n_tokens_t) AS BIGINT) AS sum_tokens,
+              CAST(sum(mwl_x100) AS BIGINT) AS sum_mwl_x100,
+              CAST(sum(n_stop_hits) AS BIGINT) AS sum_stop_hits
+            FROM f GROUP BY host
         """,
         "url_canonicalize": """
             SELECT doc_id,

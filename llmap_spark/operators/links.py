@@ -73,6 +73,42 @@ def filter_blocklisted_hosts(df: DataFrame, blocklist: DataFrame,
             .drop("_bl_host"))
 
 
+def host_quality_stats(df: DataFrame, url_col: str = "url",
+                       text_col: str = "text") -> DataFrame:
+    """Domain-reputation aggregate: per host — document count, quality-gate
+    keep count, and integer-exact quality sums (tokens, mwl_x100, stopword
+    hits). One groupBy shuffle whose partial aggregates collapse per host
+    map-side, so the exchange carries one row per (partition, host) — the
+    output is bounded by the domain universe, not corpus rows. All sums
+    are integers (Arrow/oracle-exact; no float means — consumers divide)."""
+    from llmap_spark.operators.textstats import quality_features
+
+    q = quality_features(df, text_col=text_col)
+    return (q.withColumn("host", host_of(F.col(url_col)))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("q_keep").cast("int"))
+                 .cast("bigint").alias("n_keep"),
+                 F.sum("n_tokens_t").cast("bigint").alias("sum_tokens"),
+                 F.sum("mwl_x100").cast("bigint").alias("sum_mwl_x100"),
+                 F.sum("n_stop_hits").cast("bigint")
+                 .alias("sum_stop_hits")))
+
+
+def reputation_blocklist(stats: DataFrame, min_docs: int = 100,
+                         max_keep_rate_bp: int = 2000) -> DataFrame:
+    """Hosts whose quality-gate keep rate falls below max_keep_rate_bp
+    basis points over at least min_docs documents — a DERIVED blocklist
+    (feed it to filter_blocklisted_hosts). Integer cross-multiplication,
+    no float thresholds; the spam-farm signal crawl pipelines compute from
+    their own corpus when no curated list exists."""
+    return (stats.filter(
+        (F.col("n_docs") >= min_docs)
+        & (F.col("n_keep") * 10_000 < F.lit(max_keep_rate_bp)
+           * F.col("n_docs")))
+        .select("host"))
+
+
 def host_of(url: Column) -> Column:
     """Host part of an absolute http(s) url; '' for relative links.
     Scheme matching is case-insensitive (RFC 3986; 'HTTP://HOST' is valid

@@ -578,6 +578,35 @@ def test_filter_blocklisted_hosts_broadcast_anti_join(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_reputation_blocklist_composes_with_filter(spark, docs):
+    """The derived-blocklist loop: per-host quality stats -> low-keep-rate
+    hosts -> broadcast anti-join gate. A planted spam host (junk docs)
+    is blocked; a healthy host survives."""
+    from llmap_spark.operators.links import (filter_blocklisted_hosts,
+                                             host_quality_stats,
+                                             reputation_blocklist)
+
+    good = docs.limit(10).select(
+        "doc_id", "text",
+        F.concat(F.lit("https://good.example/p"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    spam = spark.createDataFrame(
+        [(1000 + i, "zz qq xx") for i in range(10)],
+        "doc_id long, text string").withColumn(
+        "url", F.concat(F.lit("https://spam.example/p"),
+                        F.col("doc_id").cast("string")))
+    allr = good.unionByName(spam)
+    stats = host_quality_stats(allr)
+    got = {r.host: (r.n_docs, r.n_keep) for r in stats.collect()}
+    assert got["good.example"][0] == 10 and got["good.example"][1] >= 8
+    assert got["spam.example"] == (10, 0)
+    bl = reputation_blocklist(stats, min_docs=5, max_keep_rate_bp=2000)
+    assert {r.host for r in bl.collect()} == {"spam.example"}
+    kept = filter_blocklisted_hosts(allr, bl)
+    assert {r.doc_id for r in kept.collect()} == \
+        {r.doc_id for r in good.collect()}
+
+
 def test_canonical_url_rules(spark):
     from llmap_spark.operators.links import canonical_url
 
