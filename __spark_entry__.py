@@ -30,6 +30,31 @@ EDGE_RESIDUES_SQL = "(" + ", ".join(map(str, sorted(_EDGE_RESIDUES))) + ")"
 NORM_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 CHUNK = 50  # words per chunk for explode_chunks
 
+# Shared quality-formula fragments (textstats.quality_features twins).
+# ONE maintained copy composed by every oracle that needs the quality
+# signals — two hand-maintained copies of a formula block drifted once in
+# this file's history; don't reintroduce the pattern.
+SQ_LEN_SQL = f"CAST(length({NORM_SQL}) AS int)"
+TOKENS_SQL = (
+    f"CASE WHEN length({NORM_SQL}) = 0 THEN 0 "
+    f"ELSE CAST(length({NORM_SQL}) "
+    f"- length(replace({NORM_SQL}, ' ', '')) AS int) + 1 END")
+STOP_HITS_SQL = (
+    "CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ','')))/5"
+    " + (length(' '||text||' ') - length(replace(' '||text||' ',' and ','')))/5"
+    " + (length(' '||text||' ') - length(replace(' '||text||' ',' of ','')))/4"
+    " + (length(' '||text||' ') - length(replace(' '||text||' ',' to ','')))/4"
+    " + (length(' '||text||' ') - length(replace(' '||text||' ',' a ','')))/3"
+    " + (length(' '||text||' ') - length(replace(' '||text||' ',' in ','')))/4"
+    " AS int)")
+# over aliases sq_len / n_tokens_t produced by the fragments above
+MWL_SQL = ("CASE WHEN n_tokens_t > 0 THEN "
+           "CAST(floor((sq_len - (n_tokens_t - 1)) * 100 / n_tokens_t) "
+           "AS int) ELSE 0 END")
+# over aliases n_tokens_t / mwl_x100 / n_stop_hits
+QKEEP_SQL = ("(n_tokens_t >= 10 AND mwl_x100 BETWEEN 200 AND 1200 "
+             "AND n_stop_hits >= 1)")
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1640,33 +1665,18 @@ def oracle_sql() -> dict[str, str]:
                 || CAST(doc_id AS varchar) AS url
             FROM documents WHERE doc_id % 50 >= 10
         """,
-        "host_quality_stats": """
-            -- quality_score's per-doc formulas aggregated over the
-            -- planted host arithmetic (integer sums only)
+        "host_quality_stats": f"""
+            -- the shared quality fragments aggregated over the planted
+            -- host arithmetic (integer sums only)
             WITH q AS (SELECT doc_id,
               'h' || CAST(doc_id % 25 AS varchar) || '.example' AS host,
-              CAST(length(trim(regexp_replace(text,'\\s+',' ','g'))) AS int)
-                AS sq_len,
-              CASE WHEN length(trim(regexp_replace(text,'\\s+',' ','g'))) = 0 THEN 0
-                ELSE CAST(length(trim(regexp_replace(text,'\\s+',' ','g')))
-                  - length(replace(trim(regexp_replace(text,'\\s+',' ','g')),' ','')) AS int) + 1
-                END AS n_tokens_t,
-              CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ','')))/5
-                + (length(' '||text||' ') - length(replace(' '||text||' ',' and ','')))/5
-                + (length(' '||text||' ') - length(replace(' '||text||' ',' of ','')))/4
-                + (length(' '||text||' ') - length(replace(' '||text||' ',' to ','')))/4
-                + (length(' '||text||' ') - length(replace(' '||text||' ',' a ','')))/3
-                + (length(' '||text||' ') - length(replace(' '||text||' ',' in ','')))/4 AS int) AS n_stop_hits
+              {SQ_LEN_SQL} AS sq_len,
+              {TOKENS_SQL} AS n_tokens_t,
+              {STOP_HITS_SQL} AS n_stop_hits
               FROM documents),
-            f AS (SELECT *,
-              CASE WHEN n_tokens_t > 0
-                THEN CAST(floor((sq_len - (n_tokens_t - 1)) * 100 / n_tokens_t) AS int)
-                ELSE 0 END AS mwl_x100
-              FROM q)
+            f AS (SELECT *, {MWL_SQL} AS mwl_x100 FROM q)
             SELECT host, count(*) AS n_docs,
-              CAST(sum(CASE WHEN n_tokens_t >= 10
-                         AND mwl_x100 BETWEEN 200 AND 1200
-                         AND n_stop_hits >= 1 THEN 1 ELSE 0 END)
+              CAST(sum(CASE WHEN {QKEEP_SQL} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_keep,
               CAST(sum(n_tokens_t) AS BIGINT) AS sum_tokens,
               CAST(sum(mwl_x100) AS BIGINT) AS sum_mwl_x100,
@@ -1867,37 +1877,23 @@ def oracle_sql() -> dict[str, str]:
                    WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS pred_lang
             FROM c
         """,
-        "quality_score": """
+        "quality_score": f"""
             WITH q AS (SELECT doc_id,
-              CAST(length(trim(regexp_replace(text,'\\s+',' ','g'))) AS int)
-                AS sq_len,
+              {SQ_LEN_SQL} AS sq_len,
               CAST(length(text) AS int) AS n_chars_t,
-              CASE WHEN length(trim(regexp_replace(text,'\\s+',' ','g'))) = 0 THEN 0
-                ELSE CAST(length(trim(regexp_replace(text,'\\s+',' ','g')))
-                  - length(replace(trim(regexp_replace(text,'\\s+',' ','g')),' ','')) AS int) + 1
-                END AS n_tokens_t,
+              {TOKENS_SQL} AS n_tokens_t,
               CAST(length(text) - length(replace(text,'.','')) AS int) AS n_periods,
               CAST(length(text) - length(replace(text,',','')) AS int) AS n_commas,
-              CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ','')))/5
-                + (length(' '||text||' ') - length(replace(' '||text||' ',' and ','')))/5
-                + (length(' '||text||' ') - length(replace(' '||text||' ',' of ','')))/4
-                + (length(' '||text||' ') - length(replace(' '||text||' ',' to ','')))/4
-                + (length(' '||text||' ') - length(replace(' '||text||' ',' a ','')))/3
-                + (length(' '||text||' ') - length(replace(' '||text||' ',' in ','')))/4 AS int) AS n_stop_hits
-              FROM documents)
+              {STOP_HITS_SQL} AS n_stop_hits
+              FROM documents),
             -- mwl uses the SQUEEZED length (n_tokens counts squeezed
             -- whitespace; raw length would inflate mean word length on
             -- whitespace-heavy docs) — mirrors textstats.quality_features
-            SELECT doc_id, n_chars_t, n_tokens_t, n_periods, n_commas, n_stop_hits,
-              CASE WHEN n_tokens_t > 0
-                THEN CAST(floor((sq_len - (n_tokens_t - 1)) * 100 / n_tokens_t) AS int)
-                ELSE 0 END AS mwl_x100,
-              (n_tokens_t >= 10
-                AND (CASE WHEN n_tokens_t > 0
-                     THEN CAST(floor((sq_len - (n_tokens_t - 1)) * 100 / n_tokens_t) AS int)
-                     ELSE 0 END) BETWEEN 200 AND 1200
-                AND n_stop_hits >= 1) AS q_keep
-            FROM q
+            f AS (SELECT *, {MWL_SQL} AS mwl_x100 FROM q)
+            SELECT doc_id, n_chars_t, n_tokens_t, n_periods, n_commas,
+              n_stop_hits, mwl_x100,
+              {QKEEP_SQL} AS q_keep
+            FROM f
         """,
         "repetition_score": f"""
             WITH d AS (SELECT doc_id, {w_norm} AS w FROM documents),

@@ -36,7 +36,10 @@ def extract_hrefs(html_str: Column) -> Column:
 
 
 ANCHOR_PATTERN = r"(?i)<a\s[^>]*>"
-NOFOLLOW_PATTERN = r'(?i)rel="[^"]*nofollow[^"]*"'
+# \s-anchored attribute probes: without the boundary, data-rel="nofollow"
+# reads as rel= and data-href= as href= (first-match extraction would then
+# pull the wrong url entirely)
+NOFOLLOW_PATTERN = r'(?i)\srel="[^"]*nofollow[^"]*"'
 
 
 def extract_anchor_links(html_str: Column) -> Column:
@@ -48,9 +51,10 @@ def extract_anchor_links(html_str: Column) -> Column:
     HREF_PATTERN (anchor tags found with one regexp_extract_all; per-tag
     href/rel probes run over short tag strings, not the whole document)."""
     # attr probes are (?i) to match the tag scan (legacy pages shout
-    # <A HREF=...>); the document-level extract_hrefs keeps the stricter
-    # lowercase contract its planted oracle pins
-    href_ci = "(?i)" + HREF_PATTERN
+    # <A HREF=...>) and \s-anchored against data-href= lookalikes; the
+    # document-level extract_hrefs keeps the stricter lowercase contract
+    # its planted oracle pins
+    href_ci = r"(?i)\s" + HREF_PATTERN
     tags = F.regexp_extract_all(html_str, F.lit(ANCHOR_PATTERN), F.lit(0))
     with_href = F.filter(tags, lambda t: t.rlike(href_ci))
     return F.transform(with_href, lambda t: F.struct(
@@ -65,12 +69,27 @@ def filter_blocklisted_hosts(df: DataFrame, blocklist: DataFrame,
     adult-domain gate every crawl curation pipeline runs (UT1-style lists
     are ~MB scale). The blocklist is lowercased, distinct-ed, and
     BROADCAST into a left-anti hash join, so the corpus side never
-    shuffles; schema is preserved."""
-    bl = (blocklist.select(F.lower(F.col(host_col)).alias("_bl_host"))
-          .distinct())
-    return (df.withColumn("_bl_host", host_of(F.col(url_col)))
-            .join(F.broadcast(bl), "_bl_host", "left_anti")
-            .drop("_bl_host"))
+    shuffles; schema is preserved.
+
+    Join-key hygiene: default ports are stripped on BOTH sides (the same
+    rule canonical_url applies — 'spam.example:443' must not evade a
+    'spam.example' entry), and empty hosts are excluded from the list
+    side (a stray blank line in a real-world list file would otherwise
+    silently drop every relative/non-http-url row, whose host key is '')."""
+    key = "_bl_host"
+    while key in df.columns:  # never clobber a caller column
+        key += "_"
+    strip_default_port = r"(:(80|443))+$"
+    bl = (blocklist.select(
+        F.regexp_replace(F.lower(F.col(host_col)), strip_default_port, "")
+        .alias(key))
+        .filter(F.col(key) != "")
+        .distinct())
+    return (df.withColumn(
+        key, F.regexp_replace(host_of(F.col(url_col)),
+                              strip_default_port, ""))
+        .join(F.broadcast(bl), key, "left_anti")
+        .drop(key))
 
 
 def host_quality_stats(df: DataFrame, url_col: str = "url",

@@ -549,7 +549,9 @@ def test_extract_anchor_links_nofollow(spark):
             '<a rel="nofollow" href="https://b.example/2">two</a>'
             '<A HREF="https://c.example/3" REL="me NOFOLLOW">three</A>'
             '<a rel="author" href="https://d.example/4">four</a>'
-            '<a name="anchor-no-href">five</a>')
+            '<a name="anchor-no-href">five</a>'
+            '<a data-rel="nofollow" href="https://e.example/5">six</a>'
+            '<a data-href="javascript:x" class="js">seven</a>')
     df = spark.createDataFrame([(1, html)], "doc_id long, html string")
     rows = df.select(F.explode(extract_anchor_links(F.col("html")))
                      .alias("l")).select("l.href", "l.nofollow").collect()
@@ -557,7 +559,9 @@ def test_extract_anchor_links_nofollow(spark):
     assert got == [("https://a.example/1", False),
                    ("https://b.example/2", True),
                    ("https://c.example/3", True),  # attr case-insensitive
-                   ("https://d.example/4", False)]
+                   ("https://d.example/4", False),
+                   # data-rel is NOT rel; data-href is NOT a link at all
+                   ("https://e.example/5", False)]
 
 
 def test_filter_blocklisted_hosts_broadcast_anti_join(spark):
@@ -569,13 +573,21 @@ def test_filter_blocklisted_hosts_broadcast_anti_join(spark):
         "doc_id long, url string")
     bl = spark.createDataFrame([("SPAM.example",)], "host string")
     out = filter_blocklisted_hosts(df, bl)
-    assert {r.doc_id for r in out.collect()} == {2, 3, 4}
-    # host matching is case-insensitive both sides; port-qualified hosts
-    # are distinct keys (doc 4 survives — list ports explicitly to block
-    # them); schema untouched
+    assert {r.doc_id for r in out.collect()} == {2, 3}
+    # host matching is case-insensitive both sides, default ports are
+    # stripped from the join key (doc 4's :443 cannot evade the entry,
+    # same rule as canonical_url), relative urls ('' host) are untouched;
+    # schema untouched
     assert out.columns == ["doc_id", "url"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # a stray blank blocklist line must NOT drop the ''-host (relative)
+    # rows; and a pre-existing _bl_host caller column survives
+    bl2 = spark.createDataFrame([("spam.example",), ("",)], "host string")
+    df2 = df.withColumn("_bl_host", F.lit("mine"))
+    out2 = filter_blocklisted_hosts(df2, bl2)
+    assert {r.doc_id for r in out2.collect()} == {2, 3}
+    assert {r._bl_host for r in out2.collect()} == {"mine"}
 
 
 def test_reputation_blocklist_composes_with_filter(spark, docs):
@@ -586,7 +598,9 @@ def test_reputation_blocklist_composes_with_filter(spark, docs):
                                              host_quality_stats,
                                              reputation_blocklist)
 
-    good = docs.limit(10).select(
+    # deterministic slice (limit() on an unordered scan can pick different
+    # rows across the two evaluations below)
+    good = docs.filter("doc_id < 10").select(
         "doc_id", "text",
         F.concat(F.lit("https://good.example/p"),
                  F.col("doc_id").cast("string")).alias("url"))
