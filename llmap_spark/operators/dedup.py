@@ -25,6 +25,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+from llmap_spark.session import ensure_parallelism
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -167,8 +168,10 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
 
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = df.select(F.col(id_col).alias("_id"),
-                    minhash_signature_udf(num_hashes, shingle_k)(F.col(text_col)).alias("sig"))
+    sig = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id",
+        minhash_signature_udf(num_hashes, shingle_k)(F.col(text_col)).alias("sig"))
     # shingle-less docs carry NULL signatures and cannot be near-dups
     sig = sig.filter(F.col("sig").isNotNull())
     # the signature subtree feeds three consumers (band explode + the two
@@ -287,8 +290,9 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     n^2 * bands / 2^width per band). Radii beyond ~7 on a 64-bit
     fingerprint want a wider fingerprint, not more bands.
     """
-    s = df.select(F.col(id_col).alias("_id"),
-                  simhash_udf()(F.col(text_col)).alias("sh"))
+    s = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id", simhash_udf()(F.col(text_col)).alias("sh"))
     # sh=0 marks word-less docs (see simhash_udf) — they are not duplicates
     # of each other, just empty; exclude them from blocking
     s = s.filter(F.col("sh") != 0)

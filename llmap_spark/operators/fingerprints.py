@@ -96,9 +96,12 @@ def doc_fingerprints(df: DataFrame, id_col: str = "doc_id",
     No NULL filter: explode() drops NULL arrays by itself, and an explicit
     filter on the UDF column would make Spark evaluate the UDF twice
     (once for the predicate, once for the projection — seen in the plan)."""
+    from llmap_spark.session import ensure_parallelism
+
     return (
-        df.select(F.col(id_col),
-                  winnow_fingerprints_udf(k, window)(F.col(text_col)).alias("_fps"))
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col),
+                winnow_fingerprints_udf(k, window)(F.col(text_col)).alias("_fps"))
         .select(id_col, F.explode("_fps").alias("fp"))
     )
 
@@ -192,7 +195,9 @@ def cdc_chunk_table(df: DataFrame, id_col: str = "doc_id",
     """One row per chunk: (id, chunk_idx, chunk_md5, n_chars). Feeding
     chunk_md5 into exact_dedup gives SUB-document dedup — shared
     boilerplate paragraphs dedup away even when documents differ."""
-    c = df.select(
+    from llmap_spark.session import ensure_parallelism
+
+    c = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.posexplode(cdc_chunks_udf(k, mask_bits, min_len, max_len)(
             F.col(text_col))).alias("chunk_idx", "_chunk"))

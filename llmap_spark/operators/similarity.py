@@ -166,7 +166,9 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     import itertools
 
     max_blocks = 1024  # ~67M queries at the default block size
-    corpus_sel = corpus.select(id_col, vec_col)
+    from llmap_spark.session import ensure_parallelism
+
+    corpus_sel = ensure_parallelism(corpus.select(id_col, vec_col))
     kk = k + (1 if exclude_self else 0)
     # One pass over the query side, one block in driver memory at a time.
     # Probe with a single bounded collect first: toLocalIterator fetches
@@ -275,7 +277,9 @@ def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
             pdf["centroid"] = np.argmax(m @ c.T, axis=1).astype(np.int32)
             yield pdf
 
-    corpus_a = corpus.select(id_col, vec_col).mapInPandas(
+    from llmap_spark.session import ensure_parallelism
+
+    corpus_a = ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
         assign, f"{id_col} long, {vec_col} array<float>, centroid int")
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -290,7 +294,7 @@ def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                     vec_col: [v for v in pdf[vec_col] for _ in range(np_probe)]}
             yield pd.DataFrame(rows)
 
-    queries_p = queries.select(id_col, vec_col).mapInPandas(
+    queries_p = ensure_parallelism(queries.select(id_col, vec_col)).mapInPandas(
         probe, f"query_id long, centroid int, {vec_col} array<float>")
 
     joined = queries_p.alias("q").join(
@@ -378,8 +382,11 @@ def embedding_lsh_neardup(emb: DataFrame,
         return emb.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cos_x1000000 long")
     dim = probe[0]
-    s = emb.select(F.col(id_col).alias("_id"),
-                   hyperplane_sketch_udf(dim, seed=seed)(F.col(vec_col)).alias("sh"))
+    from llmap_spark.session import ensure_parallelism
+
+    s = ensure_parallelism(
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col))).select(
+        "_id", hyperplane_sketch_udf(dim, seed=seed)(F.col(vec_col)).alias("sh"))
     # sh=0 marks null/zero vectors (see hyperplane_sketch_udf) — exclude
     # from blocking, mirroring simhash_candidates' word-less-doc rule
     s = s.filter(F.col("sh") != 0)

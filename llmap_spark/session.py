@@ -78,3 +78,20 @@ def get_spark(app_name: str = "llmap_spark", cores: int | None = None,
             pass  # non-runtime conf on an existing session
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_parallelism(df):
+    """Small corpora often scan as ONE task (a sub-128MB parquet file is a
+    single split), which would serialize every downstream Python UDF on
+    one core. Repartition up to the cluster's default parallelism when the
+    incoming plan has fewer partitions — a no-op for real multi-split
+    corpora (partitions >= cores), so at 100 TB this adds nothing, while
+    the sf0.1 documents table (one 0.6 MB file) goes from a 1-core
+    signature pass to a full-width one. Call it on the SLIM projection
+    feeding the UDF so the introduced exchange carries only (id, payload).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
