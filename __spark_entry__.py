@@ -365,6 +365,22 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "fingerprint", "rep_id", "is_dup")
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (dedup.exact_dedup_against): docs with
+    doc_id % 5 == 0 play the prior snapshot's fingerprint table; the rest
+    arrive as the new batch and survive iff their md5 fingerprint is
+    unseen. md5 is engine-identical, so the whole operator is
+    hash-verified directly on the real corpus (no planting needed)."""
+    from llmap_spark.operators.dedup import exact_dedup_against
+    from llmap_spark.operators.textstats import fingerprint
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    seen = fingerprint(d.filter(F.col("doc_id") % 5 == 0), "text") \
+        .select("fingerprint")
+    batch = d.filter(F.col("doc_id") % 5 != 0)
+    return exact_dedup_against(batch, seen).select("doc_id", "fingerprint")
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1247,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": _q_repetition_score,
         # dedup family
         "dedup_exact": _q_dedup_exact,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_minhash_planted": _q_dedup_minhash_planted,
@@ -1914,6 +1931,20 @@ def oracle_sql() -> dict[str, str]:
                 1000 * (len(g3) - len(list_distinct(g3))) / len(g3)) AS int)
                 ELSE 0 END AS dup_3gram_x1000
             FROM g
+        """,
+        "dedup_incremental": f"""
+            -- NOT EXISTS (not NOT IN): null-safe — a NULL fingerprint
+            -- (NULL text) always survives, mirroring the operator's
+            -- unknown-content rule
+            WITH f AS (
+              SELECT doc_id, md5({NORM_SQL}) AS fingerprint
+              FROM documents WHERE doc_id % 5 <> 0),
+            seen AS (
+              SELECT DISTINCT md5({NORM_SQL}) AS fp
+              FROM documents WHERE doc_id % 5 = 0)
+            SELECT doc_id, fingerprint FROM f
+            WHERE fingerprint IS NULL
+               OR NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = f.fingerprint)
         """,
         "dedup_exact": f"""
             -- NULL text = UNKNOWN content, never a duplicate (mirrors the

@@ -62,6 +62,29 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def exact_dedup_against(df: DataFrame, seen: DataFrame,
+                        text_col: str = "text",
+                        seen_fp_col: str = "fingerprint") -> DataFrame:
+    """Incremental exact dedup for continuously-arriving crawl batches:
+    drop rows whose whitespace-normalized md5 fingerprint already exists
+    in a PRIOR snapshot's fingerprint table, keeping everything else with
+    its fingerprint attached (feed the survivors' fingerprints back into
+    the seen table for the next batch).
+
+    One left-anti equi-join on the fingerprint: AQE broadcasts the seen
+    side when it is small; at full scale both sides shuffle on the
+    fingerprint key (uniform by construction — md5). NULL-text rows carry
+    NULL fingerprints and always SURVIVE (anti-join null keys never
+    match): unknown content is not evidence of duplication, the same rule
+    exact_dedup applies within a batch. Within-batch duplicates are not
+    this operator's job — run exact_dedup on the batch first (or after).
+    """
+    fp = fingerprint(df, text_col)
+    seen_d = seen.select(
+        F.col(seen_fp_col).alias("fingerprint")).distinct()
+    return fp.join(seen_d, "fingerprint", "left_anti")
+
+
 # --------------------------------------------------------------------------
 # minhash + LSH
 # --------------------------------------------------------------------------

@@ -123,6 +123,27 @@ def test_exact_dedup_finds_planted_dups(spark, docs):
         assert r.doc_id == r.rep_id + 100000
 
 
+def test_exact_dedup_against_prior_snapshot(spark):
+    """Incremental dedup: batch rows drop iff their fingerprint exists in
+    the seen table; NULL text (NULL fingerprint) always survives; the
+    survivor carries its fingerprint for the next snapshot round."""
+    from llmap_spark.operators.dedup import exact_dedup_against
+    from llmap_spark.operators.textstats import fingerprint
+
+    seen_docs = spark.createDataFrame(
+        [(0, "already crawled page text")], "doc_id long, text string")
+    seen = fingerprint(seen_docs).select("fingerprint")
+    batch = spark.createDataFrame(
+        [(10, "already   crawled page\ttext"),  # normalized dup of seen
+         (11, "a genuinely new page"),
+         (12, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.fingerprint
+           for r in exact_dedup_against(batch, seen).collect()}
+    assert set(got) == {11, 12}
+    assert got[11] is not None and got[12] is None
+
+
 def test_minhash_lsh_recall_vs_exact(spark, docs):
     """Planted near-dups (doc text + small suffix) must be found."""
     from llmap_spark.operators.dedup import minhash_lsh_candidates
