@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from llmap_spark.session import ensure_parallelism
+
 from llmap_spark.operators.dedup import _FNV, _mix64
 
 
@@ -96,8 +98,6 @@ def doc_fingerprints(df: DataFrame, id_col: str = "doc_id",
     No NULL filter: explode() drops NULL arrays by itself, and an explicit
     filter on the UDF column would make Spark evaluate the UDF twice
     (once for the predicate, once for the projection — seen in the plan)."""
-    from llmap_spark.session import ensure_parallelism
-
     return (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col),
@@ -195,8 +195,6 @@ def cdc_chunk_table(df: DataFrame, id_col: str = "doc_id",
     """One row per chunk: (id, chunk_idx, chunk_md5, n_chars). Feeding
     chunk_md5 into exact_dedup gives SUB-document dedup — shared
     boilerplate paragraphs dedup away even when documents differ."""
-    from llmap_spark.session import ensure_parallelism
-
     c = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.posexplode(cdc_chunks_udf(k, mask_bits, min_len, max_len)(

@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from llmap_spark.session import ensure_parallelism
+
 TOPK_SCHEMA = "query_id long, neighbor_id long, score double"
 
 
@@ -166,8 +168,6 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     import itertools
 
     max_blocks = 1024  # ~67M queries at the default block size
-    from llmap_spark.session import ensure_parallelism
-
     corpus_sel = ensure_parallelism(corpus.select(id_col, vec_col))
     kk = k + (1 if exclude_self else 0)
     # One pass over the query side, one block in driver memory at a time.
@@ -179,10 +179,17 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     # re-read from the iterator; the probe rows are discarded).
     q_sel = queries.select(id_col, vec_col)
     probe = q_sel.limit(max_query_rows + 1).collect()
+    corpus_persisted = False
     if len(probe) <= max_query_rows:
         it = iter(probe)
     else:
         it = q_sel.toLocalIterator(prefetchPartitions=True)
+        # multi-block path: every block's eager checkpoint is its own
+        # QueryExecution (fresh shuffle IDs — no cross-job exchange
+        # reuse), so an unpersisted corpus subtree would re-scan and
+        # re-shuffle once PER BLOCK; persist pays it once
+        corpus_sel = corpus_sel.persist()
+        corpus_persisted = True
     partials = None
     pending = None  # first block kept lazy until a second block appears
     n_blocks = 0
@@ -209,6 +216,10 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
         p = p.localCheckpoint(eager=True)
         bc.destroy()
         partials = partials.unionByName(p)
+    if corpus_persisted:
+        # all multi-block partials are checkpointed by here; nothing lazy
+        # still references the corpus frame
+        corpus_sel.unpersist()
     if n_blocks == 0:
         return spark.createDataFrame([], TOPK_SCHEMA + ", rank int")
     if pending is not None:
@@ -276,8 +287,6 @@ def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
             pdf = pdf.copy()
             pdf["centroid"] = np.argmax(m @ c.T, axis=1).astype(np.int32)
             yield pdf
-
-    from llmap_spark.session import ensure_parallelism
 
     corpus_a = ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
         assign, f"{id_col} long, {vec_col} array<float>, centroid int")
@@ -382,8 +391,6 @@ def embedding_lsh_neardup(emb: DataFrame,
         return emb.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cos_x1000000 long")
     dim = probe[0]
-    from llmap_spark.session import ensure_parallelism
-
     s = ensure_parallelism(
         emb.select(F.col(id_col).alias("_id"), F.col(vec_col))).select(
         "_id", hyperplane_sketch_udf(dim, seed=seed)(F.col(vec_col)).alias("sh"))

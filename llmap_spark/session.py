@@ -89,9 +89,23 @@ def ensure_parallelism(df):
     the sf0.1 documents table (one 0.6 MB file) goes from a 1-core
     signature pass to a full-width one. Call it on the SLIM projection
     feeding the UDF so the introduced exchange carries only (id, payload).
+
+    Shuffle-bearing plans (joins/aggregates/windows/...) are returned
+    UNTOUCHED, for two reasons: their output is already
+    shuffle.partitions wide, and — the sharp edge — probing
+    .rdd.getNumPartitions() under AQE EXECUTES every upstream query
+    stage just to learn the count, whose results the fresh repartitioned
+    plan would then throw away and recompute. The probe is only free on
+    exchange-less plans (scan + project/filter/generate), which is
+    exactly where the single-split problem lives.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(k in plan for k in
+           ("Join", "Aggregate", "Window", "Sort", "Repartition",
+            "Deduplicate", "GlobalLimit")):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

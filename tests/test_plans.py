@@ -73,3 +73,29 @@ def test_winnow_overlap_single_udf_pass(spark):
 
     plan = _plan(e.queries()["winnow_overlap"](spark, "/root/testdata/sf0.001"))
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_ensure_parallelism_widens_only_bare_scans(spark, tmp_path):
+    """The single-split UDF-serialization guard: a one-file scan fans out
+    to defaultParallelism, an already-wide input passes through untouched,
+    and shuffle-bearing plans are NEVER probed (probing .rdd under AQE
+    would eagerly execute the upstream stages just to read a count)."""
+    from pyspark.sql import Window, functions as F
+
+    from llmap_spark.session import ensure_parallelism
+
+    p = str(tmp_path / "one_file.parquet")
+    spark.range(100).coalesce(1).write.parquet(p)
+    one = spark.read.parquet(p)
+    assert one.rdd.getNumPartitions() == 1
+    target = spark.sparkContext.defaultParallelism
+    assert ensure_parallelism(one).rdd.getNumPartitions() == target
+    # already wide: identity (no inserted exchange)
+    wide = spark.range(100).repartition(target)
+    assert ensure_parallelism(wide) is wide
+    # shuffle-bearing plan: untouched even though its source is one file
+    w = one.withColumn(
+        "r", F.row_number().over(
+            Window.partitionBy(F.col("id") % 3).orderBy("id")))
+    assert ensure_parallelism(w) is w
+    assert ensure_parallelism(one.join(one.select("id"), "id")) is not None
