@@ -49,9 +49,14 @@ def main() -> int:
     from llmap_spark.plans.pipeline import ExtractConfig, extract
     import __spark_entry__ as entry
 
+    from llmap_spark.session import ensure_parallelism
+
     pages = spark.read.parquet(pages_path)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # documents/embeddings are single-file tables at bench scale: widen
+    # once so pure-map jobs (textstats, scrub) don't run on one core —
+    # UDF operators guard themselves, JVM map-only chains can't
+    docs = ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    emb = ensure_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
     n_pages = pages.count()
     html_bytes = pages.agg(F.sum(F.length("html"))).collect()[0][0] or 0
