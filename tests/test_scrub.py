@@ -87,6 +87,26 @@ def test_decontaminate_counts_distinct_grams(spark):
     assert r.n_hits == 2
 
 
+def test_decontaminate_empty_benchmark_is_all_clean(spark):
+    docs = spark.createDataFrame(
+        [(0, "some perfectly ordinary words here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([], "text string")
+    r = decontaminate(docs, bench, n=3).collect()[0]
+    assert (r.n_hits, r.contaminated) == (0, 0)
+
+
+def test_paragraph_dedup_sep_is_literal_not_regex(spark):
+    """A separator containing regex metacharacters must split literally
+    (the \\Q..\\E quoting contract), not explode into per-char splits."""
+    docs = spark.createDataFrame(
+        [(0, "alpha|+|beta|+|alpha")], "doc_id long, text string")
+    r = dedup_paragraphs(docs, sep="|+|").collect()[0]
+    assert r.n_paras == 3
+    assert r.text_clean == "alpha|+|beta"  # third para deduped vs first
+    assert r.n_paras_kept == 2
+
+
 def test_decontaminate_plan_broadcasts_benchmark(spark):
     docs = spark.createDataFrame(
         [(0, "the quick brown fox")], "doc_id long, text string")
