@@ -1229,6 +1229,23 @@ def _q_scrub_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text_redacted", "n_emails", "n_ipv4", "n_phones")
 
 
+def _q_scrub_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + control-strip hygiene (scrub.normalize_text),
+    hash-verified cross-engine: a decomposed e-acute (e + U+0301) suffix
+    is planted on every doc (it must COMPOSE under NFC) plus a BEL control
+    char on doc_id % 3 = 0 (it must strip); the oracle replays both with
+    DuckDB's nfc_normalize — both engines implement UAX #15."""
+    from llmap_spark.operators.scrub import normalize_text
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.lit(" nfc:e\u0301"),
+                 F.expr("CASE WHEN doc_id % 3 = 0 THEN char(7) "
+                        "ELSE '' END")).alias("text"))
+    return normalize_text(d).select("doc_id", "text_clean", "changed")
+
+
 def _q_scrub_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (scrub.decontaminate): docs with
     doc_id % 97 == 0 play the held-out benchmark; every corpus document is
@@ -1280,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_paragraph_dedup": _q_scrub_paragraph_dedup,
         "scrub_redact_pii": _q_scrub_redact_pii,
         "scrub_decontaminate": _q_scrub_decontaminate,
+        "scrub_normalize": _q_scrub_normalize,
         # link graph
         "link_extract_roundtrip": _q_link_extract_roundtrip,
         "link_hosts": _q_link_hosts,
@@ -2332,6 +2350,27 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(regexp_extract_all(t2,
                 '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS int) AS n_phones
             FROM staged2
+        """,
+        "scrub_normalize": """
+            -- same planted construction: decomposed e-acute (chr(769) is
+            -- U+0301) always appended, BEL on doc_id%3=0; NFC composes,
+            -- the control class strips; changed compares against the
+            -- pre-normalization text
+            WITH built AS (
+              SELECT doc_id,
+                coalesce(text, '') || ' nfc:e' || chr(769)
+                || CASE WHEN doc_id % 3 = 0 THEN chr(7) ELSE '' END AS t
+              FROM documents),
+            n AS (
+              SELECT doc_id, t,
+                regexp_replace(nfc_normalize(t),
+                  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')
+                  AS text_clean
+              FROM built)
+            SELECT doc_id, text_clean,
+              CAST(CASE WHEN text_clean <> t THEN 1 ELSE 0 END AS int)
+                AS changed
+            FROM n
         """,
         "scrub_decontaminate": """
             -- distinct word-3-gram intersection against the doc_id%97

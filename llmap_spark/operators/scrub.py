@@ -32,7 +32,9 @@ hash-oracle-able; see __spark_entry__ for the driver twins.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from llmap_spark.operators.textstats import fingerprint
 
@@ -94,6 +96,43 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                     "n_paras",
                     F.coalesce("n_paras_kept", F.lit(0))
                     .cast("int").alias("n_paras_kept")))
+
+
+# C0 controls minus \t \n \r, plus DEL — the chars no tokenizer wants;
+# identical class syntax in Java regex and RE2
+CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def nfc_udf():
+    """pandas_udf: NFC-normalize a string column (Python unicodedata —
+    there is no JVM-side Unicode normalizer in Spark SQL, so this is the
+    one deliberately-Python scrub stage; Arrow-batched, total on NULL).
+    asNondeterministic blocks optimizer expression cloning (the flag does
+    not make it nondeterministic — see the MinHash UDF note)."""
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: None if t is None
+                     else unicodedata.normalize("NFC", t))
+
+    return nfc.asNondeterministic()
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-tokenization text hygiene: NFC normalization (combining
+    sequences compose — 'e'+U+0301 becomes 'é', so byte-level dedup and
+    n-gram features stop splitting on representation) followed by a JVM
+    control-character strip (C0 minus tab/newline/CR, plus DEL). Adds
+    `text_clean` and a `changed` flag; NULL text cleans to ''.
+
+    Both engines implement UAX #15, so the operator is hash-verified
+    against DuckDB's nfc_normalize directly."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cleaned = F.regexp_replace(nfc_udf()(t), CONTROL_RE, "")
+    return (df.withColumn("text_clean", cleaned)
+            .withColumn("changed",
+                        (F.col("text_clean") != t).cast("int")))
 
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
