@@ -88,12 +88,16 @@ def curated_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
                    decontaminate_n: int = 3,
                    paragraph_dedup: bool = True,
                    redact: bool = True,
+                   nfc: bool = False,
                    id_col: str = "doc_id", text_col: str = "text",
                    **kept_kwargs) -> DataFrame:
     """The deliverable: kept_documents' keep-list joined back to text and
     scrubbed into a training-ready corpus.
 
         kept_documents keep-list      (quality -> dedup -> LSH -> CC)
+          -> NFC normalize            (opt-in nfc=True: compose combining
+                                       sequences + strip controls BEFORE
+                                       fingerprinting)
           -> decontaminate            (drop docs sharing any word n-gram
                                        with the held-out benchmark; skipped
                                        when benchmark is None)
@@ -116,6 +120,14 @@ def curated_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
     kept = kept_documents(docs, id_col=id_col, text_col=text_col,
                           **kept_kwargs)
     out = docs.join(kept, id_col, "left_semi")
+    if nfc:
+        # normalize BEFORE paragraph dedup so fingerprints see composed
+        # text (representation variants of the same paragraph collapse)
+        from llmap_spark.operators.scrub import normalize_text
+
+        out = (normalize_text(out, text_col=text_col)
+               .drop(text_col, "changed")
+               .withColumnRenamed("text_clean", text_col))
     if benchmark is not None:
         # `out` feeds BOTH the gram explode and the anti-join left side:
         # persist it or the scan + quality gate + keep-list joins evaluate

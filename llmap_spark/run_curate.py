@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--benchmark", default=None,
                     help="held-out benchmark parquet (text column) for "
                          "decontamination; only used with --emit corpus")
+    ap.add_argument("--nfc", action="store_true",
+                    help="NFC-normalize + control-strip text before the "
+                         "scrub stages (--emit corpus only)")
     args = ap.parse_args(argv)
 
     from pyspark import SparkConf
@@ -69,7 +72,8 @@ def main(argv: list[str] | None = None) -> int:
 
         bench = (spark.read.parquet(args.benchmark)
                  if args.benchmark else None)
-        out = curated_corpus(docs, benchmark=bench, id_col=args.id_col,
+        out = curated_corpus(docs, benchmark=bench, nfc=args.nfc,
+                             id_col=args.id_col,
                              text_col=args.text_col,
                              verify_jaccard=args.verify_jaccard,
                              cc_reliable=args.checkpoint_dir is not None,

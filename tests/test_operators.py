@@ -859,6 +859,12 @@ def test_curated_corpus_composes_scrub_stages(spark, docs):
                             redact=False).collect()}
     assert plain[500000].n_emails is None
     assert "someone@example.com" in plain[500000].text
+    # opt-in NFC stage composes before fingerprinting
+    accented = allr.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" café")))
+    nfc_out = {r.doc_id: r for r in
+               curated_corpus(accented, nfc=True).collect()}
+    assert any("caf\u00e9" in r.text for r in nfc_out.values())
 
 
 def test_connected_components_nonconvergence_raises(spark):
