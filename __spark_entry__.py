@@ -2353,9 +2353,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "scrub_normalize": """
             -- same planted construction: decomposed e-acute (chr(769) is
-            -- U+0301) always appended, BEL on doc_id%3=0; NFC composes,
-            -- the control class strips; changed compares against the
-            -- pre-normalization text
+            -- U+0301) always appended, BEL on doc_id%3=0; control strip
+            -- runs FIRST (a control between base and combining mark
+            -- blocks composition), then NFC composes; changed compares
+            -- against the pre-normalization text
             WITH built AS (
               SELECT doc_id,
                 coalesce(text, '') || ' nfc:e' || chr(769)
@@ -2363,8 +2364,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             n AS (
               SELECT doc_id, t,
-                regexp_replace(nfc_normalize(t),
-                  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')
+                nfc_normalize(regexp_replace(t,
+                  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
                   AS text_clean
               FROM built)
             SELECT doc_id, text_clean,

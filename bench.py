@@ -52,11 +52,14 @@ def main() -> int:
     from llmap_spark.session import ensure_parallelism
 
     pages = spark.read.parquet(pages_path)
-    # documents/embeddings are single-file tables at bench scale: widen
-    # once so pure-map jobs (textstats, scrub) don't run on one core —
-    # UDF operators guard themselves, JVM map-only chains can't
+    # documents is a single-file table at bench scale: widen once so
+    # pure-map jobs (textstats, scrub) don't run on one core — UDF
+    # operators guard themselves, JVM map-only chains can't. emb is NOT
+    # wrapped: brute_force_topk guards its own corpus side, and an outer
+    # repartition would force the query-side probe collect (scan + limit)
+    # through a full round-robin exchange
     docs = ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    emb = ensure_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     n_pages = pages.count()
     html_bytes = pages.agg(F.sum(F.length("html"))).collect()[0][0] or 0

@@ -111,25 +111,30 @@ def nfc_udf():
     not make it nondeterministic — see the MinHash UDF note)."""
     @pandas_udf("string")
     def nfc(s: pd.Series) -> pd.Series:
-        import unicodedata
-
-        return s.map(lambda t: None if t is None
-                     else unicodedata.normalize("NFC", t))
+        # pandas' null-propagating normalizer (same unicodedata backend,
+        # no per-row lambda frames)
+        return s.str.normalize("NFC")
 
     return nfc.asNondeterministic()
 
 
 def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Pre-tokenization text hygiene: NFC normalization (combining
-    sequences compose — 'e'+U+0301 becomes 'é', so byte-level dedup and
-    n-gram features stop splitting on representation) followed by a JVM
-    control-character strip (C0 minus tab/newline/CR, plus DEL). Adds
+    """Pre-tokenization text hygiene: a JVM control-character strip (C0
+    minus tab/newline/CR, plus DEL) followed by NFC normalization
+    (combining sequences compose — 'e'+U+0301 becomes 'é', so byte-level
+    dedup and n-gram features stop splitting on representation). Adds
     `text_clean` and a `changed` flag; NULL text cleans to ''.
+
+    Strip runs FIRST: a control char between a base char and its
+    combining mark blocks composition, so NFC-then-strip could emit
+    text that is neither NFC-normalized nor stable under a second pass
+    ('e' NUL U+0301 -> decomposed 'e'+U+0301). Strip-then-NFC output is
+    control-free and NFC by construction — idempotent (pinned in pytest).
 
     Both engines implement UAX #15, so the operator is hash-verified
     against DuckDB's nfc_normalize directly."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    cleaned = F.regexp_replace(nfc_udf()(t), CONTROL_RE, "")
+    cleaned = nfc_udf()(F.regexp_replace(t, CONTROL_RE, ""))
     return (df.withColumn("text_clean", cleaned)
             .withColumn("changed",
                         (F.col("text_clean") != t).cast("int")))

@@ -128,14 +128,16 @@ def curated_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
         out = (normalize_text(out, text_col=text_col)
                .drop(text_col, "changed")
                .withColumnRenamed("text_clean", text_col))
-    if benchmark is not None:
-        # `out` feeds BOTH the gram explode and the anti-join left side:
-        # persist it or the scan + quality gate + keep-list joins evaluate
-        # twice in one plan (registered for release_persisted, same
-        # contract as the reps persist in kept_documents)
-        from llmap_spark.cache import register_persisted
+    # `out` always feeds MULTIPLE branches downstream: dedup_paragraphs
+    # references its input twice (paras + counts), and the benchmark path
+    # adds the gram explode + anti-join left side. Unpersisted, the
+    # semi-join (and the per-row NFC UDF when enabled) would evaluate once
+    # PER BRANCH — the CLAUDE.md branch-recompute gotcha. Registered for
+    # release_persisted, same contract as the reps persist above.
+    from llmap_spark.cache import register_persisted
 
-        out = register_persisted(out.persist())
+    out = register_persisted(out.persist())
+    if benchmark is not None:
         dirty = (_decon(out, benchmark, n=decontaminate_n, id_col=id_col,
                         text_col=text_col)
                  .filter(F.col("contaminated") == 1)

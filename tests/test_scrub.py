@@ -132,6 +132,25 @@ def test_normalize_text_nfc_and_control_strip(spark):
     assert again.changed == 0
 
 
+def test_normalize_text_strips_before_composing(spark):
+    """A control char BETWEEN a base char and its combining mark blocks
+    composition — strip must run first or the output is neither NFC nor
+    stable under a second pass."""
+    import unicodedata
+
+    from llmap_spark.operators.scrub import normalize_text
+
+    docs = spark.createDataFrame(
+        [(0, "e\x00\u0301 rest")], "doc_id long, text string")
+    r = normalize_text(docs).collect()[0]
+    assert r.text_clean == "\u00e9 rest"  # composed, control gone
+    assert unicodedata.is_normalized("NFC", r.text_clean)
+    again = normalize_text(
+        spark.createDataFrame([(0, r.text_clean)],
+                              "doc_id long, text string")).collect()[0]
+    assert again.changed == 0
+
+
 def test_decontaminate_plan_broadcasts_benchmark(spark):
     docs = spark.createDataFrame(
         [(0, "the quick brown fox")], "doc_id long, text string")
