@@ -2,7 +2,7 @@
 
 Five families, each with a distinct scale profile:
 
-  exact_dedup          md5 fingerprint + one shuffle (groupBy/window)
+  exact_dedup          md5 fingerprint -> groupBy-min winners -> join-back
   minhash_lsh          char-shingle MinHash signatures (pandas UDF) ->
                        banded LSH bucket join -> candidate pairs with
                        signature-estimated Jaccard (JVM zip_with)
@@ -41,24 +41,33 @@ MERSENNE61 = (1 << 61) - 1
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: adds `fingerprint`, `rep_id` (min id with
-    the same fingerprint) and `is_dup`. Exactly one shuffle (window over
-    fingerprint); AQE handles residual skew."""
+    the same fingerprint) and `is_dup`.
+
+    Winner selection is groupBy(fingerprint).min — NOT a window over the
+    fingerprint: a window buffers each duplicate group in one task (a
+    boilerplate page duplicated 10^8 times becomes one spilling straggler),
+    while the groupBy's partial aggregation collapses hot groups map-side
+    to one row per (partition, fingerprint), the same skew-safe shape
+    scrub.dedup_paragraphs uses. The rep join-back is an equi-join AQE
+    can skew-split. Cost: the fingerprint projection evaluates twice (two
+    plan branches over a scan + md5 — linear and cheap); the win: no
+    unbounded per-group buffering anywhere.
+
+    NULL text -> NULL fingerprint = UNKNOWN content, never a duplicate:
+    null keys drop out of the groupBy winners and never match the
+    join-back, so every null-text row is its own representative without
+    ever shuffling into a shared null bucket."""
     out = fingerprint(df, text_col)
-    # NULL text -> NULL fingerprint = UNKNOWN content, never a duplicate.
-    # The window key coalesces NULL fingerprints to a per-row synthetic key
-    # (not just guarding the result with when()): partitioning by the raw
-    # fingerprint would still SHUFFLE every null-text row into one hot
-    # partition at scale — the min would be computed over the whole group
-    # and then discarded, the straggler/OOM paid anyway.
-    wkey = F.coalesce(
-        F.col("fingerprint"),
-        F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(wkey)
-    rep = F.when(F.col("fingerprint").isNotNull(),
-                 F.min(id_col).over(w)).otherwise(F.col(id_col))
+    winners = (out.filter(F.col("fingerprint").isNotNull())
+               .groupBy("fingerprint")
+               .agg(F.min(id_col).alias("_rep")))
     return (
-        out.withColumn("rep_id", rep)
+        out.join(winners, "fingerprint", "left")
+        .withColumn("rep_id", F.coalesce(F.col("_rep"), F.col(id_col)))
+        .drop("_rep")
         .withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
+        # the USING join hoists the key to column 0; restore input order
+        .select(*out.columns, "rep_id", "is_dup")
     )
 
 
