@@ -2289,8 +2289,13 @@ def oracle_sql() -> dict[str, str]:
               FROM paras, LATERAL unnest(generate_series(1, len(ps)))
                    AS u(i)),
             fp AS (
+              -- blank paragraphs are EXEMPT from dedup (per-row synthetic
+              -- key), mirroring the operator's spacing-preservation rule
               SELECT *,
-                md5(trim(regexp_replace(para, '\\s+', ' ', 'g'))) AS f
+                CASE WHEN trim(regexp_replace(para, '\\s+', ' ', 'g')) <> ''
+                  THEN md5(trim(regexp_replace(para, '\\s+', ' ', 'g')))
+                  ELSE chr(0) || 'blank:' || CAST(doc_id AS varchar)
+                    || ':' || CAST(idx AS varchar) END AS f
               FROM ex),
             win AS (
               SELECT *, row_number()

@@ -71,25 +71,29 @@ def filter_blocklisted_hosts(df: DataFrame, blocklist: DataFrame,
     BROADCAST into a left-anti hash join, so the corpus side never
     shuffles; schema is preserved.
 
-    Join-key hygiene: default ports are stripped on BOTH sides (the same
-    rule canonical_url applies — 'spam.example:443' must not evade a
-    'spam.example' entry), and empty hosts are excluded from the list
-    side (a stray blank line in a real-world list file would otherwise
-    silently drop every relative/non-http-url row, whose host key is '')."""
+    Join-key hygiene: the gate keys on the bare registrable host — url
+    USERINFO ('x@spam.example') and ANY port (':8080', not just the
+    defaults) are stripped on both sides, because a spam gate that a
+    one-character url variant evades is not a gate (ports select a
+    service on the same host; blocking is per-host). Empty hosts are
+    excluded from the list side (a stray blank line in a real-world list
+    file would otherwise silently drop every relative/non-http-url row,
+    whose host key is '')."""
     key = "_bl_host"
     while key in df.columns:  # never clobber a caller column
         key += "_"
-    strip_default_port = r"(:(80|443))+$"
-    bl = (blocklist.select(
-        F.regexp_replace(F.lower(F.col(host_col)), strip_default_port, "")
-        .alias(key))
-        .filter(F.col(key) != "")
-        .distinct())
-    return (df.withColumn(
-        key, F.regexp_replace(host_of(F.col(url_col)),
-                              strip_default_port, ""))
-        .join(F.broadcast(bl), key, "left_anti")
-        .drop(key))
+
+    def gate_key(c):
+        return F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"^[^@/]*@", ""),
+            r"(:\d+)+$", "")
+
+    bl = (blocklist.select(gate_key(F.col(host_col)).alias(key))
+          .filter(F.col(key) != "")
+          .distinct())
+    return (df.withColumn(key, gate_key(host_of(F.col(url_col))))
+            .join(F.broadcast(bl), key, "left_anti")
+            .drop(key))
 
 
 def host_quality_stats(df: DataFrame, url_col: str = "url",
@@ -105,13 +109,19 @@ def host_quality_stats(df: DataFrame, url_col: str = "url",
     q = quality_features(df, text_col=text_col)
     return (q.withColumn("host", host_of(F.col(url_col)))
             .groupBy("host")
+            # NULL-text docs carry NULL quality columns; coalesce BEFORE
+            # summing or an all-NULL-text host aggregates n_keep = NULL
+            # and slips through reputation_blocklist's integer filter —
+            # a 0%-keep host escaping the very gate built to catch it
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.col("q_keep").cast("int"))
+                 F.sum(F.coalesce(F.col("q_keep").cast("int"), F.lit(0)))
                  .cast("bigint").alias("n_keep"),
-                 F.sum("n_tokens_t").cast("bigint").alias("sum_tokens"),
-                 F.sum("mwl_x100").cast("bigint").alias("sum_mwl_x100"),
-                 F.sum("n_stop_hits").cast("bigint")
-                 .alias("sum_stop_hits")))
+                 F.sum(F.coalesce("n_tokens_t", F.lit(0)))
+                 .cast("bigint").alias("sum_tokens"),
+                 F.sum(F.coalesce("mwl_x100", F.lit(0)))
+                 .cast("bigint").alias("sum_mwl_x100"),
+                 F.sum(F.coalesce("n_stop_hits", F.lit(0)))
+                 .cast("bigint").alias("sum_stop_hits")))
 
 
 def reputation_blocklist(stats: DataFrame, min_docs: int = 100,

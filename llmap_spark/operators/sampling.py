@@ -26,10 +26,18 @@ BP = 10_000  # basis points: rates are integer ten-thousandths
 def portable_coin(key: Column, seed: int, mod: int = BP) -> Column:
     """Deterministic per-row coin in [0, mod): the first 8 hex digits of
     md5('<seed>:<key>') mod `mod`. Identical in Spark, DuckDB, and plain
-    Python — the basis of every portable sampler."""
+    Python — the basis of every portable sampler.
+
+    NULL keys coalesce to a fixed sentinel rather than poisoning the md5
+    to NULL — an unconditioned NULL coin fails every `coin < rate` gate,
+    so NULL-key rows would vanish from even a 100% sample (silent row
+    loss, against the repo's totality rule). With the sentinel they all
+    share one coin: kept or dropped TOGETHER, deterministically; corpora
+    with meaningful NULL-key populations should assign ids first."""
+    k = F.coalesce(key.cast("string"), F.lit("\x00null"))
     return (
         F.conv(F.substring(
-            F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8),
+            F.md5(F.concat(F.lit(f"{seed}:"), k)), 1, 8),
             16, 10).cast("long") % mod
     )
 

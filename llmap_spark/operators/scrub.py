@@ -58,6 +58,14 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     text_clean = '' and n_paras_kept = 0 (downstream quality gates decide
     whether to drop it — this operator never loses rows).
 
+    BLANK paragraphs (whitespace-only, e.g. the '' between a '\\n\\n\\n\\n'
+    run or after a trailing separator) are EXEMPT from dedup — they are
+    document spacing, not content, and fingerprint-deduping them would
+    silently delete every blank paragraph in the corpus except one
+    arbitrary global winner, mutating spacing everywhere. Each keeps a
+    per-row synthetic key (never shuffled into a shared md5('') bucket —
+    the same rule exact_dedup applies to NULL fingerprints).
+
     Winner selection is a groupBy on the paragraph fingerprint with a
     min(struct(id, idx)) aggregate: partial aggregation collapses hot
     fingerprints map-side, so pathological boilerplate (the exact thing
@@ -73,6 +81,15 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                              pat, -1)).alias("_idx", "_para"),
     )
     paras = fingerprint(paras, text_col="_para", out_col="_fp")
+    # blank test uses the SAME normalization as the fingerprint (a
+    # tab-only paragraph must classify blank, not dedup via md5(''))
+    norm_para = F.trim(F.regexp_replace(F.col("_para"), r"\s+", " "))
+    paras = paras.withColumn(
+        "_fp",
+        F.when(norm_para != "", F.col("_fp"))
+        .otherwise(F.concat(F.lit("\x00blank:"),
+                            F.col(id_col).cast("string"), F.lit(":"),
+                            F.col("_idx").cast("string"))))
     winners = paras.groupBy("_fp").agg(
         F.min(F.struct(F.col(id_col), F.col("_idx"))).alias("_w"))
     kept = (paras.join(winners, "_fp")
@@ -161,21 +178,6 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("n_phones", n_phones.cast("int")))
 
 
-def _word_ngrams(words_col: str, n: int):
-    """Array of space-joined word n-grams over an ALREADY-SPLIT word-array
-    column; empty array when it has < n words. Operating on a projected
-    array (split runs once per row) keeps gram extraction O(words x n) —
-    referencing the split inside the transform lambda would re-run the
-    full-text regexp split once per gram position (O(words^2) per doc,
-    higher-order functions get no subexpression caching).
-    ASCII-literal transforms only — evaluates identically in DuckDB."""
-    return F.expr(
-        f"CASE WHEN size({words_col}) >= {n} THEN transform("
-        f"  sequence(1, size({words_col}) - {n} + 1), "
-        f"  i -> array_join(slice({words_col}, i, {n}), ' ')) "
-        f"ELSE array() END")
-
-
 def _with_words(df: DataFrame, text_col: str, out_col: str) -> DataFrame:
     return df.withColumn(
         out_col,
@@ -197,12 +199,17 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 3,
     never shuffles for the membership test; the only wide exchange is the
     groupBy(doc) whose partial aggregate emits one row per document per
     partition."""
+    from llmap_spark.operators.textstats import word_ngrams
+
+    # word_ngrams is the repo's SINGLE n-gram constructor (blank-text
+    # guard included) — operating on the pre-split projection keeps gram
+    # extraction O(words x n) instead of re-splitting per gram position
     bench = (_with_words(benchmark, text_col, "_bw")
-             .select(F.explode(_word_ngrams("_bw", n)).alias("_gram"))
+             .select(F.explode(word_ngrams("_bw", n)).alias("_gram"))
              .distinct())
     grams = (_with_words(df.select(id_col, text_col), text_col, "_dw")
              .select(F.col(id_col), F.explode(F.array_distinct(
-                 _word_ngrams("_dw", n))).alias("_gram")))
+                 word_ngrams("_dw", n))).alias("_gram")))
     hits = (grams.join(F.broadcast(bench.withColumn("_hit", F.lit(1))),
                        "_gram", "left")
             .groupBy(id_col)

@@ -101,10 +101,14 @@ def ensure_parallelism(df):
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(k in plan for k in
-           ("Join", "Aggregate", "Window", "Sort", "Repartition",
-            "Deduplicate", "GlobalLimit")):
+    # Positive exchange test on the PHYSICAL plan (planning is lazy — this
+    # executes nothing): any Exchange (shuffle or broadcast) means the
+    # probe below would eagerly run upstream stages under AQE, and the
+    # output is already shuffle.partitions wide anyway. A keyword
+    # denylist over logical nodes missed grouped-map shapes
+    # (FlatMapGroupsInPandas et al.) and false-matched user identifiers.
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in phys:
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

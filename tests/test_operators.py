@@ -590,15 +590,16 @@ def test_filter_blocklisted_hosts_broadcast_anti_join(spark):
 
     df = spark.createDataFrame(
         [(1, "https://Spam.Example/p"), (2, "https://good.example/p"),
-         (3, "relative/path"), (4, "https://spam.example:443/q")],
+         (3, "relative/path"), (4, "https://spam.example:443/q"),
+         (5, "https://x@spam.example/p"),     # userinfo cannot evade
+         (6, "https://spam.example:8080/q")],  # nor a non-default port
         "doc_id long, url string")
     bl = spark.createDataFrame([("SPAM.example",)], "host string")
     out = filter_blocklisted_hosts(df, bl)
     assert {r.doc_id for r in out.collect()} == {2, 3}
-    # host matching is case-insensitive both sides, default ports are
-    # stripped from the join key (doc 4's :443 cannot evade the entry,
-    # same rule as canonical_url), relative urls ('' host) are untouched;
-    # schema untouched
+    # the gate keys on the bare registrable host: case-insensitive both
+    # sides, userinfo and ANY port stripped, relative urls ('' host)
+    # untouched; schema untouched
     assert out.columns == ["doc_id", "url"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
@@ -834,7 +835,9 @@ def test_curated_corpus_composes_scrub_stages(spark, docs):
     redacts — all in one lazy plan."""
     from llmap_spark.plans.training import curated_corpus
 
-    base = docs.limit(20)
+    # deterministic slice: limit() on an unordered scan can pick different
+    # rows across the many branch evaluations below
+    base = docs.filter("doc_id < 20")
     pii = spark.createDataFrame(
         [(500000, "a perfectly fine long document about sorting that asks "
                   "you to write to someone@example.com for more details "

@@ -63,6 +63,15 @@ def test_stratified_sample_respects_strata(spark, docs):
         {r.lang for r in docs.filter("lang <> 'en'").collect()}
 
 
+def test_null_keys_are_total_not_dropped(spark):
+    """A NULL key must not silently vanish from the sample (the coin
+    coalesces to a sentinel; all NULL-key rows flip together)."""
+    df = spark.createDataFrame(
+        [(1,), (None,)], "doc_id long")
+    assert bernoulli_sample(df, 10_000).count() == 2  # 100% keeps ALL rows
+    assert bernoulli_sample(df, 0).count() == 0
+
+
 def test_weighted_sample_per_row_gate(spark):
     rows = [(i, 0 if i % 2 == 0 else 10_000) for i in range(100)]
     df = spark.createDataFrame(rows, "doc_id long, w int")

@@ -96,6 +96,21 @@ def test_decontaminate_empty_benchmark_is_all_clean(spark):
     assert (r.n_hits, r.contaminated) == (0, 0)
 
 
+def test_paragraph_dedup_preserves_blank_paragraphs(spark):
+    """Blank paragraphs are spacing, not content: they must NOT dedup
+    corpus-wide to one arbitrary winner (every other doc's spacing would
+    silently mutate)."""
+    docs = spark.createDataFrame(
+        [(0, "p\n\n\n\nq"),      # the '' between the four newlines
+         (1, "x\n\n\n\ny"),      # ... must survive here too
+         (2, "a\n\n \n\nb")],    # whitespace-only paragraph: same rule
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    assert got[0].text_clean == "p\n\n\n\nq" and got[0].n_paras_kept == 3
+    assert got[1].text_clean == "x\n\n\n\ny" and got[1].n_paras_kept == 3
+    assert got[2].text_clean == "a\n\n \n\nb" and got[2].n_paras_kept == 3
+
+
 def test_paragraph_dedup_sep_is_literal_not_regex(spark):
     """A separator containing regex metacharacters must split literally
     (the \\Q..\\E quoting contract), not explode into per-char splits."""
