@@ -55,6 +55,24 @@ MWL_SQL = ("CASE WHEN n_tokens_t > 0 THEN "
 QKEEP_SQL = ("(n_tokens_t >= 10 AND mwl_x100 BETWEEN 200 AND 1200 "
              "AND n_stop_hits >= 1)")
 
+# shared by the ann_brute_planted / ann_ivf_planted oracle keys — the two
+# operators produce the IDENTICAL exact result on the one-hot corpus, and
+# a second hand-maintained copy of the ranking arithmetic is the drift
+# pattern word_ngrams documents
+ANN_PLANTED_SQL = """
+    WITH m AS (SELECT vec_id, (vec_id // 4) % 64 AS dim
+               FROM embeddings),
+    p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            CASE WHEN a.dim = b.dim THEN 1 ELSE 0 END AS s
+          FROM m a, m b WHERE a.vec_id <> b.vec_id),
+    r AS (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY s DESC, neighbor_id ASC) AS rnk
+          FROM p)
+    SELECT query_id, neighbor_id, CAST(rnk AS int) AS rank
+    FROM r WHERE rnk <= 5
+"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -950,23 +968,34 @@ def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, and payload md5 from the documents table. Archive writing is
     driver-side and fixture-scale by design (the read path is the
     distributed product surface — one task per archive)."""
-    import tempfile
     from pathlib import Path
 
     from llmap_spark.sources.warc import make_warc, read_warc
 
-    rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
-    tmp = Path(tempfile.mkdtemp(prefix="llmap_warc_"))
-    n_shards = 8
-    shards: list[list] = [[] for _ in range(n_shards)]
-    for r in rows:
-        d = int(r.doc_id)
-        payload = f"<html><body><p>{r.text or ''}</p></body></html>".encode()
-        url = f"https://w{d % 25}.example/doc{d}"
-        shards[d % n_shards].append((url, "2025-01-01T00:00:00Z", payload))
-    for k, recs in enumerate(shards):
-        (tmp / f"seg-{k:05d}.warc.gz").write_bytes(make_warc(recs))
-    df = read_warc(spark, str(tmp))
+    # deterministic CACHED fixture dir (bytes are pure doc_id/text
+    # arithmetic + mtime=0 gzip), not a fresh mkdtemp per invocation —
+    # repeated driver/bench runs were leaking a corpus-sized temp dir
+    # each time; the dir must outlive the returned lazy plan, so it
+    # cannot simply be rmtree'd here
+    tmp = (Path(__file__).resolve().parent / ".cache" / "warc_fixture"
+           / (Path(sf_dir).name + "-v1"))
+    if not tmp.is_dir() or not any(tmp.glob("seg-*.warc.gz")):
+        tmp.mkdir(parents=True, exist_ok=True)
+        rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
+        n_shards = 8
+        shards: list[list] = [[] for _ in range(n_shards)]
+        for r in rows:
+            d = int(r.doc_id)
+            payload = \
+                f"<html><body><p>{r.text or ''}</p></body></html>".encode()
+            url = f"https://w{d % 25}.example/doc{d}"
+            shards[d % n_shards].append(
+                (url, "2025-01-01T00:00:00Z", payload))
+        for k, recs in enumerate(shards):
+            part = tmp / f"seg-{k:05d}.warc.gz.tmp"
+            part.write_bytes(make_warc(recs))
+            part.rename(tmp / f"seg-{k:05d}.warc.gz")
+    df = read_warc(spark, str(tmp / "seg-*.warc.gz"))
     return df.select(
         F.regexp_extract("url", r"/doc(\d+)$", 1).cast("long").alias("doc_id"),
         "url",
@@ -1771,36 +1800,12 @@ def oracle_sql() -> dict[str, str]:
                 '\\s+', ' ', 'g'))) AS bigint) AS n_chars_sum
             FROM documents
         """,
-        "ann_brute_planted": """
-            -- exact 1.0/0.0 cosines: top-5 = same-dim neighbors ascending,
-            -- then zero-score neighbors ascending (score desc, id asc)
-            WITH m AS (SELECT vec_id, (vec_id // 4) % 64 AS dim
-                       FROM embeddings),
-            p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                    CASE WHEN a.dim = b.dim THEN 1 ELSE 0 END AS s
-                  FROM m a, m b WHERE a.vec_id <> b.vec_id),
-            r AS (SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY s DESC, neighbor_id ASC) AS rnk
-                  FROM p)
-            SELECT query_id, neighbor_id, CAST(rnk AS int) AS rank
-            FROM r WHERE rnk <= 5
-        """,
-        "ann_ivf_planted": """
-            -- single centroid -> IVF degenerates to exact top-k; same
-            -- arithmetic as ann_brute_planted
-            WITH m AS (SELECT vec_id, (vec_id // 4) % 64 AS dim
-                       FROM embeddings),
-            p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                    CASE WHEN a.dim = b.dim THEN 1 ELSE 0 END AS s
-                  FROM m a, m b WHERE a.vec_id <> b.vec_id),
-            r AS (SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY s DESC, neighbor_id ASC) AS rnk
-                  FROM p)
-            SELECT query_id, neighbor_id, CAST(rnk AS int) AS rank
-            FROM r WHERE rnk <= 5
-        """,
+        # one maintained copy for both planted-ANN twins (brute exact;
+        # single-centroid IVF degenerates to the same exact top-k): exact
+        # 1.0/0.0 cosines -> top-5 = same-dim neighbors ascending, then
+        # zero-score neighbors ascending (score desc, id asc)
+        "ann_brute_planted": ANN_PLANTED_SQL,
+        "ann_ivf_planted": ANN_PLANTED_SQL,
         "embedding_lsh_planted": """
             -- near-dup pairs = vectors one-hot on the SAME dimension
             -- ((vec_id // 4) % 64), cosine exactly 1.0 -> 1000000

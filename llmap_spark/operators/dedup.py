@@ -518,6 +518,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     right default for any corpus whose CC runs longer than the mean
     executor MTBF.
 
+    Reliable-checkpoint retention: Spark deletes checkpoint files only
+    under spark.cleaner.referenceTracking.cleanCheckpoints=true (default
+    FALSE), so a reliable run leaves O(rounds) label/edge snapshots in
+    checkpoint_dir. Set that conf on long-lived clusters, or treat
+    checkpoint_dir as per-run scratch and delete it after the returned
+    labels are materialized (written/collected) — the frame reads from
+    those files until then. setCheckpointDir is also CONTEXT-GLOBAL
+    state, shared with any other checkpoint user in the session.
+
     This replaces a GraphFrames/union-find dependency; genuinely
     non-SQL-expressible, so the driver records rows-only for it and pytest
     checks it against a driver-side union-find on small data (both modes).

@@ -430,8 +430,13 @@ def extract_pdf_text(payload: bytes | None) -> tuple[str, str]:
         for stream in streams:
             if b"beginbfchar" in stream or b"beginbfrange" in stream:
                 _parse_cmap(stream, cmap)
-            else:
-                content.append(stream)
+            # EVERY stream is also content-scanned: _text_from_content
+            # only reads inside BT..ET blocks, which genuine CMap streams
+            # don't contain (so nothing leaks), while a real content
+            # stream whose SHOWN TEXT mentions 'beginbfchar' (a page about
+            # PDF internals) previously lost its entire text to the
+            # either/or routing
+            content.append(stream)
         pieces: list[str] = []
         for stream in content:
             pieces.extend(_text_from_content(stream, cmap or None))

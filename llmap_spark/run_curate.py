@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if SparkConf().contains("spark.master"):
         spark = SparkSession.builder.appName("llmap-curate").getOrCreate()
+        # UTC pin, same as get_spark: WARC dates parse with a
+        # literal 'Z', so a cluster-local timezone would shift
+        # every crawl timestamp
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     else:
         from llmap_spark.session import get_spark, scan_conf_for
 

@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
         # spark-submit driver has no active session yet, so detecting the
         # launcher via getActiveSession() is wrong — the conf check isn't)
         spark = SparkSession.builder.appName("llmap-extract").getOrCreate()
+        # UTC pin, same as get_spark: WARC dates parse with a
+        # literal 'Z', so a cluster-local timezone would shift
+        # every crawl timestamp
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     else:
         from llmap_spark.session import get_spark, scan_conf_for
 

@@ -87,9 +87,15 @@ def parse_warc(data: bytes | None,
         except ValueError:
             pos = hdr_end + 4  # unparseable record: resync on next WARC/
             continue
-        length = max(0, min(length, MAX_RECORD_PAYLOAD))
-        body = stream[hdr_end + 4:hdr_end + 4 + length]
-        pos = hdr_end + 4 + length
+        # cap what we KEEP, but advance pos by the FULL declared length:
+        # skipping only the capped prefix of an oversized record would
+        # rescan its payload tail as top-level WARC data — any 'WARC/'
+        # bytes inside it (an archived .warc, a page about WARC) would be
+        # emitted as genuine records with wrong provenance
+        length = max(0, length)
+        body = stream[hdr_end + 4:
+                      hdr_end + 4 + min(length, MAX_RECORD_PAYLOAD)]
+        pos = min(hdr_end + 4 + length, n)
         if headers.get(b"warc-type") != record_type:
             continue
         url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
@@ -151,16 +157,28 @@ def write_wet(df, out_dir: str,
               text_col: str = "extracted_text") -> int:
     """Distributed WET sink: one `part-{partition}.warc.wet.gz` archive per
     Spark partition, written FROM THE EXECUTORS (foreachPartition — no
-    driver collect, so the sink scales with the cluster like the parquet
-    snapshot sink). Returns the number of partitions written. Idempotent
-    per partition id (re-run overwrites the same file names); for
-    commit-or-nothing semantics wrap the directory with the snapshot
+    driver collect). Returns the number of partitions written.
+
+    Filesystem contract: `out_dir` must be visible to BOTH driver and
+    executors at the same path (local mode trivially; on a cluster a
+    shared mount — NFS, fuse-mounted object store). Plain open()/rename
+    is the mechanism, so a non-shared path would scatter output across
+    executor-local disks; object-store-native output belongs to the
+    parquet snapshot sink.
+
+    Stale parts from a PREVIOUS run are removed first: a re-run that
+    plans fewer partitions would otherwise leave orphan archives carrying
+    outdated records in the deliverable (and inflate the returned count).
+    For commit-or-nothing semantics wrap the directory with the snapshot
     layer's manifest pattern."""
+    import glob as _glob
     import os
 
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(os.path.join(out_dir, "part-*.warc.wet.gz")):
+        os.remove(stale)
     sel = df.select(
         F.col(url_col).alias("u"),
         F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("d"),
@@ -184,6 +202,20 @@ def write_wet(df, out_dir: str,
     sel.foreachPartition(dump)
     import glob as _glob
     return len(_glob.glob(os.path.join(out_dir, "part-*.warc.wet.gz")))
+
+
+def _warc_ts(col_name: str):
+    """WARC-Date string -> timestamp, total: WARC 1.1 fractional seconds
+    are truncated (the engine's integer-second convention), and a
+    malformed date yields NULL instead of an ANSI parse error killing the
+    job. Callers must run with spark.sql.session.timeZone=UTC (get_spark
+    pins it; the spark-submit CLIs set it explicitly) — the 'Z' is a
+    pattern literal, so a non-UTC session would silently shift every
+    crawl timestamp."""
+    from pyspark.sql import functions as F
+
+    whole = F.regexp_replace(F.col(col_name), r"\.\d+Z$", "Z")
+    return F.try_to_timestamp(whole, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
 
 
 def read_wet(spark, path: str):
@@ -219,9 +251,7 @@ def read_wet(spark, path: str):
         "url string, warc_date string, extracted_text string, "
         "wet_path string")
     return parsed.select(
-        "url",
-        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
-        .alias("warc_ts"),
+        "url", _warc_ts("warc_date").alias("warc_ts"),
         "extracted_text", "wet_path")
 
 
@@ -253,7 +283,5 @@ def read_warc(spark, path: str):
     parsed = files.select("path", "content").mapInPandas(
         parse, "url string, warc_date string, html binary, warc_path string")
     return parsed.select(
-        "url",
-        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
-        .alias("warc_ts"),
+        "url", _warc_ts("warc_date").alias("warc_ts"),
         "html", "warc_path")

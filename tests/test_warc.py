@@ -105,6 +105,43 @@ def test_wet_sink_roundtrips_extraction(spark, tmp_path):
     assert back == want
 
 
+def test_oversized_record_payload_not_rescanned_as_warc():
+    """pos must advance by the FULL declared length of an oversized
+    record: skipping only the capped prefix re-scans the payload tail,
+    and any 'WARC/' bytes inside it (an archived .warc, a page about
+    WARC) would be emitted as spurious top-level records."""
+    inner = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+             b"WARC-Target-URI: https://fake.example/injected\r\n"
+             b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+             b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+    # payload: 8MB of filler, then an embedded WARC record past the cap
+    big = b"x" * (warc.MAX_RECORD_PAYLOAD + 100) + inner
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://real.example/big\r\n"
+           b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           b"Content-Length: " + str(len(big)).encode() + b"\r\n\r\n"
+           + big + b"\r\n\r\n")
+    got = warc.parse_warc(rec)
+    assert [u for u, _, _ in got] == ["https://real.example/big"]
+    assert len(got[0][2]) == warc.MAX_RECORD_PAYLOAD  # kept = capped
+
+
+def test_warc_date_fractional_seconds_truncate(spark, tmp_path):
+    """WARC 1.1 fractional-second dates parse (truncated to the second)
+    instead of nulling warc_ts; malformed dates yield NULL, not an ANSI
+    job failure."""
+    recs = [("https://a.example/1", "2024-03-01T12:00:05.123456Z", b"x"),
+            ("https://a.example/2", "2024-03-01T12:00:05Z", b"y"),
+            ("https://a.example/3", "not-a-date", b"z")]
+    p = tmp_path / "f.warc.gz"
+    p.write_bytes(warc.make_warc(recs))
+    got = {r.url: r.warc_ts
+           for r in warc.read_warc(spark, str(p)).collect()}
+    assert got["https://a.example/1"] == got["https://a.example/2"]
+    assert got["https://a.example/1"] is not None
+    assert got["https://a.example/3"] is None
+
+
 def test_wet_text_starting_with_http_survives():
     """The HTTP-header strip is a RESPONSE-record rule: a conversion
     record whose extracted text begins with 'HTTP/' must come back
