@@ -26,7 +26,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 from llmap_spark.session import ensure_parallelism
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from llmap_spark.operators.textstats import fingerprint
@@ -221,13 +221,18 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         sig.select("_id", F.explode(F.array(*band_exprs)).alias("bk"))
         .select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     )
-    # hot-bucket guard: one window count over the same (band, bh) shuffle
-    # the self-join needs anyway — no separate aggregate + anti-join pass
+    # hot-bucket guard via groupBy counts + join-back, NOT a window over
+    # (band, bh): the hot bucket is exactly the case the cap exists for,
+    # and a window would buffer that whole bucket in one task before
+    # dropping it; partial aggregation collapses it map-side to one
+    # (partition, bucket) row, and the thin counts frame joins back on
+    # the same key the self-join shuffles on anyway
+    bucket_n = exploded.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("_bn"))
     pruned = (
-        exploded.withColumn(
-            "bucket_n", F.count("*").over(Window.partitionBy("band", "bh")))
-        .filter(F.col("bucket_n") <= max_bucket)
-        .drop("bucket_n")
+        exploded.join(bucket_n.filter(F.col("_bn") <= max_bucket)
+                      .select("band", "bh"),
+                      ["band", "bh"])
     )
     a = pruned.select(F.col("_id").alias("id_a"), "band", "bh")
     b = pruned.select(F.col("_id").alias("id_b"), "band", "bh")
@@ -382,9 +387,12 @@ def hamming_band_pairs(s: DataFrame, max_hamming: int,
     e = s.select("_id", "sh", F.explode(F.array(*bands)).alias("bk")) \
          .select("_id", "sh", "bk.band", "bk.key")
     if max_bucket is not None:
-        e = (e.withColumn("_bn", F.count("*").over(
-                Window.partitionBy("band", "key")))
-             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+        # groupBy counts + join-back, not a window: the hot bucket the
+        # cap targets would otherwise buffer whole in one window task
+        # (same rationale as the minhash cap above)
+        bn = e.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bn"))
+        e = e.join(bn.filter(F.col("_bn") <= max_bucket)
+                   .select("band", "key"), ["band", "key"])
     a = e.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")
     b = e.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "key")
     out = (
