@@ -78,6 +78,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _table_stat_key(sf_dir: str, table: str) -> str:
+    """Cheap content key for derived-fixture caches (e.g. the WARC
+    archives): md5 over the (relative-name, size, mtime_ns) of every file
+    under the source parquet — if the driver regenerates a tier's
+    fixtures, caches keyed this way roll over automatically instead of
+    serving stale bytes that surface as unexplained hash mismatches."""
+    import hashlib
+    from pathlib import Path
+
+    p = Path(sf_dir) / f"{table}.parquet"
+    parts = []
+    if p.is_dir():
+        for f in sorted(p.rglob("*")):
+            if f.is_file():
+                st = f.stat()
+                parts.append(f"{f.relative_to(p)}:{st.st_size}:{st.st_mtime_ns}")
+    elif p.is_file():
+        st = p.stat()
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -976,9 +998,12 @@ def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic + mtime=0 gzip), not a fresh mkdtemp per invocation —
     # repeated driver/bench runs were leaking a corpus-sized temp dir
     # each time; the dir must outlive the returned lazy plan, so it
-    # cannot simply be rmtree'd here
+    # cannot simply be rmtree'd here. Keyed by the SOURCE table's file
+    # stats (size+mtime of documents.parquet), not a hand-bumped suffix:
+    # a changed fixture would otherwise silently serve stale archives
+    # and report spurious hash mismatches with no hint of the cause.
     tmp = (Path(__file__).resolve().parent / ".cache" / "warc_fixture"
-           / (Path(sf_dir).name + "-v1"))
+           / (Path(sf_dir).name + "-" + _table_stat_key(sf_dir, "documents")))
     if not tmp.is_dir() or not any(tmp.glob("seg-*.warc.gz")):
         tmp.mkdir(parents=True, exist_ok=True)
         rows = _docs(spark, sf_dir).select("doc_id", "text").collect()

@@ -48,26 +48,40 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     boilerplate page duplicated 10^8 times becomes one spilling straggler),
     while the groupBy's partial aggregation collapses hot groups map-side
     to one row per (partition, fingerprint), the same skew-safe shape
-    scrub.dedup_paragraphs uses. The rep join-back is an equi-join AQE
-    can skew-split. Cost: the fingerprint projection evaluates twice (two
-    plan branches over a scan + md5 — linear and cheap); the win: no
-    unbounded per-group buffering anywhere.
+    scrub.dedup_paragraphs uses.
+
+    One md5 pass: the slim (id, fingerprint) projection is persisted
+    (registered with llmap_spark.cache, same contract as the LSH
+    signature frame) and feeds BOTH the winners aggregate and the
+    rep-assignment join — the earlier two-branch plan re-scanned and
+    re-hashed the full text column for the winners side (a second
+    full-corpus pass at 100 TB; 4.2x slower at sf0.1 in the r3 driver
+    bench). Wide input rows rejoin the thin (id, rep_id) verdict on the
+    id key — an equi-join AQE can skew-split, shuffling the fingerprint
+    exactly once in thin rows rather than attached to full-width rows.
 
     NULL text -> NULL fingerprint = UNKNOWN content, never a duplicate:
     null keys drop out of the groupBy winners and never match the
     join-back, so every null-text row is its own representative without
     ever shuffling into a shared null bucket."""
-    out = fingerprint(df, text_col)
-    winners = (out.filter(F.col("fingerprint").isNotNull())
+    from llmap_spark.cache import register_persisted
+
+    slim = (fingerprint(df.select(id_col, text_col), text_col)
+            .select(id_col, "fingerprint").persist())
+    register_persisted(slim)
+    winners = (slim.filter(F.col("fingerprint").isNotNull())
                .groupBy("fingerprint")
                .agg(F.min(id_col).alias("_rep")))
-    return (
-        out.join(winners, "fingerprint", "left")
+    verdict = (
+        slim.join(winners, "fingerprint", "left")
         .withColumn("rep_id", F.coalesce(F.col("_rep"), F.col(id_col)))
-        .drop("_rep")
+        .select(id_col, "fingerprint", "rep_id")
+    )
+    return (
+        df.join(verdict, id_col)
         .withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
         # the USING join hoists the key to column 0; restore input order
-        .select(*out.columns, "rep_id", "is_dup")
+        .select(*df.columns, "fingerprint", "rep_id", "is_dup")
     )
 
 
@@ -221,19 +235,21 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         sig.select("_id", F.explode(F.array(*band_exprs)).alias("bk"))
         .select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     )
-    # hot-bucket guard via groupBy counts + join-back, NOT a window over
-    # (band, bh): the hot bucket is exactly the case the cap exists for,
-    # and a window would buffer that whole bucket in one task before
-    # dropping it; partial aggregation collapses it map-side to one
-    # (partition, bucket) row, and the thin counts frame joins back on
-    # the same key the self-join shuffles on anyway
-    bucket_n = exploded.groupBy("band", "bh").agg(
-        F.count(F.lit(1)).alias("_bn"))
-    pruned = (
-        exploded.join(bucket_n.filter(F.col("_bn") <= max_bucket)
-                      .select("band", "bh"),
-                      ["band", "bh"])
-    )
+    # hot-bucket guard via groupBy counts + ANTI-join against the
+    # over-full buckets, NOT a window over (band, bh): the hot bucket is
+    # exactly the case the cap exists for, and a window would buffer that
+    # whole bucket in one task before dropping it; partial aggregation
+    # collapses it map-side to one (partition, bucket) row. The anti-join
+    # side is only the buckets EXCEEDING the cap — rare by construction —
+    # so AQE broadcasts it at runtime and the exploded frame never
+    # shuffles for the cap (the r3 inner-join formulation joined back the
+    # corpus-sized <=cap bucket list instead: a full extra exchange,
+    # measured +2.6 s at sf0.1 in the driver bench)
+    hot = (exploded.groupBy("band", "bh")
+           .agg(F.count(F.lit(1)).alias("_bn"))
+           .filter(F.col("_bn") > max_bucket)
+           .select("band", "bh"))
+    pruned = exploded.join(hot, ["band", "bh"], "left_anti")
     a = pruned.select(F.col("_id").alias("id_a"), "band", "bh")
     b = pruned.select(F.col("_id").alias("id_b"), "band", "bh")
     pairs = (
@@ -387,12 +403,17 @@ def hamming_band_pairs(s: DataFrame, max_hamming: int,
     e = s.select("_id", "sh", F.explode(F.array(*bands)).alias("bk")) \
          .select("_id", "sh", "bk.band", "bk.key")
     if max_bucket is not None:
-        # groupBy counts + join-back, not a window: the hot bucket the
-        # cap targets would otherwise buffer whole in one window task
-        # (same rationale as the minhash cap above)
-        bn = e.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bn"))
-        e = e.join(bn.filter(F.col("_bn") <= max_bucket)
-                   .select("band", "key"), ["band", "key"])
+        # groupBy counts + anti-join against over-full buckets, not a
+        # window: the hot bucket the cap targets would otherwise buffer
+        # whole in one window task. The anti side carries only buckets
+        # exceeding the cap (rare by construction), so AQE broadcasts it
+        # and the exploded frame never shuffles for the cap (same
+        # rationale as the minhash guard above)
+        hot = (e.groupBy("band", "key")
+               .agg(F.count(F.lit(1)).alias("_bn"))
+               .filter(F.col("_bn") > max_bucket)
+               .select("band", "key"))
+        e = e.join(hot, ["band", "key"], "left_anti")
     a = e.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")
     b = e.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "key")
     out = (

@@ -54,9 +54,13 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     original order.
 
     Returns (id_col, text_clean, n_paras, n_paras_kept). A document whose
-    every paragraph appeared earlier elsewhere survives with
-    text_clean = '' and n_paras_kept = 0 (downstream quality gates decide
-    whether to drop it — this operator never loses rows).
+    every paragraph appeared earlier elsewhere survives as an empty shell
+    (downstream quality gates decide whether to drop it — this operator
+    never loses rows). Gates detecting such shells must test
+    trim(text_clean) = '' — NOT n_paras_kept = 0: blank paragraphs are
+    dedup-exempt (below) and always survive, so a fully-deduplicated doc
+    with a trailing separator reports n_paras_kept > 0 while its
+    text_clean is whitespace-only.
 
     BLANK paragraphs (whitespace-only, e.g. the '' between a '\\n\\n\\n\\n'
     run or after a trailing separator) are EXEMPT from dedup — they are

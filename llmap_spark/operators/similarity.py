@@ -193,29 +193,49 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     partials = None
     pending = None  # first block kept lazy until a second block appears
     n_blocks = 0
-    while True:
-        block = list(itertools.islice(it, max_query_rows))
-        if not block:
-            break
-        n_blocks += 1
-        if n_blocks > max_blocks:
-            raise ValueError(
-                f"brute_force_topk query side exceeds {max_blocks} blocks "
-                f"of {max_query_rows} rows; brute force at this scale is "
-                "O(|corpus| x |queries|) — use ivf_topk (distributed query "
-                "side) or raise max_query_rows/max_blocks deliberately")
-        p, bc = _block_partials(corpus_sel, block, kk, id_col, vec_col)
-        if n_blocks == 1:
-            pending = (p, bc)
-            continue
-        if pending is not None:
-            p1, bc1 = pending
-            pending = None
-            partials = p1.localCheckpoint(eager=True)
-            bc1.destroy()
-        p = p.localCheckpoint(eager=True)
-        bc.destroy()
-        partials = partials.unionByName(p)
+    # error-path cleanup: broadcasts created but not yet destroyed. On the
+    # happy path the single-block broadcast MUST outlive this function
+    # (the returned plan reads it), so cleanup runs only on exception —
+    # without it, the max_blocks ValueError (or a failed checkpoint) left
+    # the persisted corpus and the in-flight block broadcast pinned for
+    # the session lifetime.
+    live_bcs: list = []
+    try:
+        while True:
+            block = list(itertools.islice(it, max_query_rows))
+            if not block:
+                break
+            n_blocks += 1
+            if n_blocks > max_blocks:
+                raise ValueError(
+                    f"brute_force_topk query side exceeds {max_blocks} blocks "
+                    f"of {max_query_rows} rows; brute force at this scale is "
+                    "O(|corpus| x |queries|) — use ivf_topk (distributed query "
+                    "side) or raise max_query_rows/max_blocks deliberately")
+            p, bc = _block_partials(corpus_sel, block, kk, id_col, vec_col)
+            live_bcs.append(bc)
+            if n_blocks == 1:
+                pending = (p, bc)
+                continue
+            if pending is not None:
+                p1, bc1 = pending
+                pending = None
+                partials = p1.localCheckpoint(eager=True)
+                bc1.destroy()
+                live_bcs.remove(bc1)
+            p = p.localCheckpoint(eager=True)
+            bc.destroy()
+            live_bcs.remove(bc)
+            partials = partials.unionByName(p)
+    except BaseException:
+        for b in live_bcs:
+            try:
+                b.destroy()
+            except Exception:
+                pass
+        if corpus_persisted:
+            corpus_sel.unpersist()
+        raise
     if corpus_persisted:
         # all multi-block partials are checkpointed by here; nothing lazy
         # still references the corpus frame

@@ -184,6 +184,14 @@ def lineage_from(extracted: DataFrame, snapshot_id: int,
                   .otherwise(0)).cast("long").alias("n_ok"),
             F.sum(F.when(F.col("status").isin("parse_error"), 1)
                   .otherwise(0)).cast("long").alias("n_err"),
+            # 'empty' is a successful, total outcome but NOT ok (nothing
+            # was extracted) and NOT an error; counting it separately
+            # makes the partition total exact: n_ok + n_err + n_empty ==
+            # n_rows (pinned by test_ops_columns_and_lineage_consistency
+            # — consumers summing n_ok + n_err alone under-reported on
+            # corpora with empty pages)
+            F.sum(F.when(F.col("status") == "empty", 1)
+                  .otherwise(0)).cast("long").alias("n_empty"),
             F.sum("bytes_in").alias("bytes_in"),
             F.sum("bytes_out").alias("bytes_out"),
         )

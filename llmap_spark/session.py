@@ -107,7 +107,17 @@ def ensure_parallelism(df):
     # output is already shuffle.partitions wide anyway. A keyword
     # denylist over logical nodes missed grouped-map shapes
     # (FlatMapGroupsInPandas et al.) and false-matched user identifiers.
-    phys = df._jdf.queryExecution().executedPlan().toString()
+    #
+    # The probe uses the PRIVATE _jdf handle (no public API exposes the
+    # physical plan without executing); if a Spark upgrade moves it, fail
+    # SAFE — return the frame unchanged rather than risk the eager-AQE
+    # partition probe on a shuffle-bearing plan. The probe's continued
+    # validity on the running Spark version is pinned by
+    # tests/test_plans.py::test_ensure_parallelism_probe_detects_exchange.
+    try:
+        phys = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return df
     if "Exchange" in phys:
         return df
     if df.rdd.getNumPartitions() < target:

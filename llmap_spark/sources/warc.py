@@ -32,7 +32,10 @@ MAX_WARC_BYTES = 2_000_000_000   # binaryFile's own per-file ceiling
 MAX_RECORD_PAYLOAD = 8_000_000   # per-record body cap (kernel input cap x8)
 MAX_RECORDS_PER_FILE = 1_000_000
 
-_HDR_RE = re.compile(rb"^([A-Za-z0-9-]+):[ \t]*(.*?)\r?$", re.MULTILINE)
+# value group strips trailing [ \t]* too: 'WARC-Type: response ' (trailing
+# blank before CRLF) must still compare equal to b'response', and
+# WARC-Date/Target-URI values must not carry stray whitespace
+_HDR_RE = re.compile(rb"^([A-Za-z0-9-]+):[ \t]*(.*?)[ \t]*\r?$", re.MULTILINE)
 
 
 def _decompress(data: bytes) -> bytes:

@@ -82,9 +82,12 @@ def test_ops_columns_and_lineage_consistency(spark, pages_smoke):
         lin = lineage_from(ex, snapshot_id=1, started_at="2025-01-01 00:00:00",
                            finished_at="2025-01-01 00:00:01")
         agg = lin.agg(F.sum("n_rows").alias("n"), F.sum("n_ok").alias("ok"),
-                      F.sum("n_err").alias("err")).collect()[0]
+                      F.sum("n_err").alias("err"),
+                      F.sum("n_empty").alias("empty")).collect()[0]
         assert agg.n == ex.count()
-        assert agg.ok + agg.err <= agg.n  # 'empty'/gated rows are neither
+        # exact partition of the statuses: every row is ok, err, or empty
+        assert agg.ok + agg.err + agg.empty == agg.n
+        assert agg.empty > 0  # the smoke corpus plants empty pages
         assert lin.filter(F.col("kernel_version").isNull()).count() == 0
     finally:
         ex.unpersist()

@@ -99,3 +99,19 @@ def test_ensure_parallelism_widens_only_bare_scans(spark, tmp_path):
             Window.partitionBy(F.col("id") % 3).orderBy("id")))
     assert ensure_parallelism(w) is w
     assert ensure_parallelism(one.join(one.select("id"), "id")) is not None
+
+
+def test_ensure_parallelism_probe_detects_exchange(spark):
+    """Pins the private-API physical-plan probe against the RUNNING Spark
+    version: the `_jdf.queryExecution().executedPlan()` string must still
+    exist and still spell shuffle nodes 'Exchange'. If a Spark upgrade
+    breaks either, this fails loudly while ensure_parallelism itself fails
+    SAFE (returns the frame unchanged) — but silently losing the widening
+    on single-split scans is a perf bug we want surfaced here."""
+    from pyspark.sql import functions as F
+
+    shuffled = spark.range(100).groupBy((F.col("id") % 3).alias("k")).count()
+    phys = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in phys
+    bare = spark.range(100)
+    assert "Exchange" not in bare._jdf.queryExecution().executedPlan().toString()
