@@ -167,11 +167,21 @@ def _q_extract_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE corpus through the fused funnel, hash-verified: every
+    page of every template family (t0, t1-t7, all seven edge kinds) in
+    one result. Keyed by page_i — the page index is bijective with the
+    url (the url's host prefix is seeded-RNG decoration, not
+    SQL-derivable) — so the oracle is the UNION of the three per-family
+    derivations (extract_t0_full + extract_tpl_full + extract_edge_cases,
+    each independently hash-green), composed verbatim in oracle_sql() to
+    rule out drift between the family twins and this whole-corpus one."""
     from llmap_spark.plans.pipeline import ExtractConfig, extract
 
     ex = extract(_pages(spark, sf_dir), ExtractConfig(fuse=True))
-    return ex.select("url", "lang", "extracted_text", "n_blocks_kept",
-                     "n_blocks_total", "status")
+    return ex.select(
+        F.regexp_extract("url", r"/p(\d+)$", 1).cast("long").alias("page_i"),
+        "lang", "extracted_text", "n_blocks_kept", "n_blocks_total",
+        "status")
 
 
 def _q_extract_t0_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,6 +371,45 @@ def _q_pipeline_curated_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = _planted_curation_docs(spark, sf_dir)
     bench = planted.filter(F.col("doc_id") % 16 == 7).select("text")
     return curated_corpus(planted, benchmark=bench)
+
+
+def _planted_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_planted_curation_docs plus a per-group DECOMPOSED suffix token
+    ' z<hex4>e'+U+0301 (combining acute) on every non-junk doc: the NFC
+    stage composes the trailing pair to 'é', so the composed bytes are
+    arithmetically derivable ('z'||hex4||chr(233)) and the full nfc=True
+    chain is hash-checkable. The suffix varies per group (hex4 of
+    md5('n'||g)) so it adds no cross-group shingle sharing beyond what
+    the green twin already carries ('the ' is shared there), and is
+    identical within a group so the family structure (near-dup /
+    exact-dup / junk / singleton) is unchanged."""
+    docs = _planted_curation_docs(spark, sf_dir)
+    # the suffix literal below is DECOMPOSED on purpose: base 'e' +
+    # U+0301 combining acute — the NFC stage must compose it to U+00E9
+    suffix = F.expr(
+        "concat(' z', substr(md5(concat('n', "
+        "cast(doc_id DIV 8 as string))), 1, 4), 'é')")
+    text = F.when(F.col("doc_id") % 8 == 6, F.col("text")) \
+        .otherwise(F.concat(F.col("text"), suffix))
+    return docs.select("doc_id", text.alias("text"))
+
+
+def _q_pipeline_curated_nfc_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curated deliverable with the OPT-IN NFC stage ON,
+    hash-verified as COMPOSED (keep-list -> NFC normalize -> decontaminate
+    -> paragraph dedup -> redact), not just per-stage: the r3 verdict's
+    item 7. The planted corpus carries decomposed 'e'+U+0301 suffixes the
+    NFC stage must compose; the oracle writes the composed bytes
+    (chr(233)) directly from the same arithmetic, so the normalize
+    output's exact bytes are part of the hash. The benchmark slice stays
+    DECOMPOSED (raw planted text), matching what the Spark side passes —
+    decontamination still fires via the shared word-soup grams, which are
+    accent-free."""
+    from llmap_spark.plans.training import curated_corpus
+
+    planted = _planted_nfc_docs(spark, sf_dir)
+    bench = planted.filter(F.col("doc_id") % 16 == 7).select("text")
+    return curated_corpus(planted, benchmark=bench, nfc=True)
 
 
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,8 +1364,39 @@ def _q_scrub_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING IS DELIBERATE (r3 verdict item 1): the driver's sampler
+    # took exactly the first 50 entries in r3, leaving 22 queries without
+    # a CORRECTNESS row. Entries the driver has NEVER hash-checked (plus
+    # this round's new ones) come first, r3-green flagships fill the rest
+    # of the top 50, and queries that are hash-green in BOTH r2 and r3
+    # sit in the tail — so whatever prefix the sampler takes, the union
+    # of rounds covers the whole surface.
     return {
-        # extraction funnel (SURVEY §2 #1-#28 composed)
+        # --- never driver-checked (r3 tail) + new this round ---
+        "warc_roundtrip": _q_warc_roundtrip,
+        "extract_pdf_cid_roundtrip": _q_extract_pdf_cid_roundtrip,
+        "ann_brute_planted": _q_ann_brute_planted,
+        "ann_ivf_planted": _q_ann_ivf_planted,
+        "embedding_lsh_planted": _q_embedding_lsh_planted,
+        "multimodal_features_planted": _q_multimodal_features_planted,
+        "sample_stratified": _q_sample_stratified,
+        "sample_quality_weighted": _q_sample_quality_weighted,
+        "sample_seeded_portable": _q_sample_seeded_portable,
+        "pipeline_curated_nfc_planted": _q_pipeline_curated_nfc_planted,
+        "sample_seeded": _q_sample_seeded,
+        "explode_chunks": _q_explode_chunks,
+        "union_passthrough": _q_union_passthrough,
+        "embedding_topk_int": _q_embedding_topk_int,
+        "embedding_neardup_int": _q_embedding_neardup_int,
+        "ann_brute_force": _q_ann_brute_force,
+        "ann_ivf": _q_ann_ivf,
+        "embedding_neardup": _q_embedding_neardup,
+        "embedding_lsh_neardup": _q_embedding_lsh_neardup,
+        "extract_pdf_roundtrip": _q_extract_pdf_roundtrip,
+        "multimodal_image_meta": _q_multimodal_image_meta,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "multimodal_media_meta": _q_multimodal_media_meta,
+        # --- extraction funnel (SURVEY §2 #1-#28 composed; r3-green) ---
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_status_counts": _q_extract_status_counts,
         "extract_t0_full": _q_extract_t0_full,
@@ -1326,16 +1406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_kept_docs": _q_pipeline_kept_docs,
         "pipeline_kept_planted": _q_pipeline_kept_planted,
         "pipeline_curated_planted": _q_pipeline_curated_planted,
-        # text analysis
-        "token_count": _q_token_count,
-        "token_count_bpe": _q_token_count_bpe,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "repetition_score": _q_repetition_score,
-        # dedup family
+        # --- dedup family ---
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_minhash_planted": _q_dedup_minhash_planted,
         "dedup_simhash": _q_dedup_simhash,
@@ -1347,19 +1420,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_planted": _q_winnow_overlap_planted,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_reassembly": _q_cdc_reassembly,
-        # corpus scrubbing
+        # --- corpus scrubbing ---
         "scrub_paragraph_dedup": _q_scrub_paragraph_dedup,
         "scrub_redact_pii": _q_scrub_redact_pii,
         "scrub_decontaminate": _q_scrub_decontaminate,
         "scrub_normalize": _q_scrub_normalize,
-        # link graph
+        # --- tail: hash-green in BOTH r2 and r3 (or stable since r1) ---
+        "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "repetition_score": _q_repetition_score,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "link_extract_roundtrip": _q_link_extract_roundtrip,
         "link_hosts": _q_link_hosts,
         "link_nofollow": _q_link_nofollow,
         "host_blocklist": _q_host_blocklist,
         "host_quality_stats": _q_host_quality_stats,
         "url_canonicalize": _q_url_canonicalize,
-        # reference operator analogues
         "collate_binpack": _q_collate_binpack,
         "collate_binpack_bucketed": _q_collate_binpack_bucketed,
         "group_combine": _q_group_combine,
@@ -1372,31 +1450,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "orders_per_region": _q_orders_per_region,
         "sample_deterministic": _q_sample_deterministic,
-        "sample_seeded": _q_sample_seeded,
-        "sample_seeded_portable": _q_sample_seeded_portable,
-        "sample_stratified": _q_sample_stratified,
-        "sample_quality_weighted": _q_sample_quality_weighted,
-        "explode_chunks": _q_explode_chunks,
-        "union_passthrough": _q_union_passthrough,
-        # similarity search
-        "embedding_topk_int": _q_embedding_topk_int,
-        "embedding_neardup_int": _q_embedding_neardup_int,
-        "ann_brute_force": _q_ann_brute_force,
-        "ann_brute_planted": _q_ann_brute_planted,
-        "ann_ivf": _q_ann_ivf,
-        "ann_ivf_planted": _q_ann_ivf_planted,
-        "embedding_neardup": _q_embedding_neardup,
-        "embedding_lsh_neardup": _q_embedding_lsh_neardup,
-        "embedding_lsh_planted": _q_embedding_lsh_planted,
-        # sources
-        "warc_roundtrip": _q_warc_roundtrip,
-        # multimodal
-        "extract_pdf_roundtrip": _q_extract_pdf_roundtrip,
-        "extract_pdf_cid_roundtrip": _q_extract_pdf_cid_roundtrip,
-        "multimodal_image_meta": _q_multimodal_image_meta,
-        "multimodal_frame_sample": _q_multimodal_frame_sample,
-        "multimodal_media_meta": _q_multimodal_media_meta,
-        "multimodal_features_planted": _q_multimodal_features_planted,
     }
 
 
@@ -1406,7 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     w_norm = f"string_split({NORM_SQL}, ' ')"
-    return {
+    d = {
         "extract_roundtrip": f"""
             -- the same integer keep gate extract_t0_full models: a doc
             -- failing classification extracts '' (latent before: the
@@ -2294,6 +2347,110 @@ def oracle_sql() -> dict[str, str]:
                 '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS int) AS n_phones
             FROM r2
         """,
+        "pipeline_curated_nfc_planted": """
+            -- the nfc=True composed chain: same replay as
+            -- pipeline_curated_planted, over the planted corpus carrying a
+            -- per-group DECOMPOSED ' z<hex4>e'+U+0301 suffix. The NFC
+            -- stage's output is derived arithmetically — the only
+            -- combining sequence is 'e'+U+0301, so composition is
+            -- replace('e'||chr(769) -> chr(233)) — and those composed
+            -- bytes flow through decontamination (benchmark grams stay
+            -- decomposed, as the Spark side passes them; matching happens
+            -- on the accent-free word-soup grams), paragraph dedup, and
+            -- redaction, so the whole opt-in path hashes end-to-end
+            WITH planted AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 8 = 6 THEN 'xx'
+                ELSE (CASE doc_id % 8
+                  WHEN 7 THEN 'the '
+                    || regexp_replace(md5('s' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                    || regexp_replace(md5('t' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                  WHEN 4 THEN 'the '
+                    || regexp_replace(md5('e' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                    || regexp_replace(md5('f' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                  WHEN 5 THEN 'the '
+                    || regexp_replace(md5('e' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                    || regexp_replace(md5('f' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                  ELSE (['zq','Zq','zQ','ZQ'])[CAST(doc_id % 8 AS int) + 1]
+                    || ' the '
+                    || regexp_replace(md5('a' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                    || regexp_replace(md5('b' || CAST(doc_id // 8 AS varchar)),
+                                      '(....)', '\\1 ', 'g')
+                END)
+                || ' z' || substr(md5('n' || CAST(doc_id // 8 AS varchar)), 1, 4)
+                || 'e' || chr(769)
+                END AS text
+              FROM documents),
+            kept AS (
+              -- keep-list (doc_id % 8 IN (0,4,7), same derivation as the
+              -- green twin) with the NFC stage applied: compose the one
+              -- planted combining sequence
+              SELECT doc_id, replace(text, 'e' || chr(769), chr(233)) AS text
+              FROM planted WHERE doc_id % 8 IN (0, 4, 7)),
+            bw AS (
+              SELECT string_split_regex(trim(coalesce(text, '')), '\\s+')
+                AS ws
+              FROM planted WHERE doc_id % 16 = 7),
+            bg AS (
+              SELECT DISTINCT array_to_string(ws[u.i:u.i+2], ' ') AS gram
+              FROM bw, LATERAL unnest(generate_series(1, len(ws) - 2))
+                   AS u(i)
+              WHERE len(ws) >= 3),
+            kw AS (
+              SELECT doc_id,
+                string_split_regex(trim(coalesce(text, '')), '\\s+') AS ws
+              FROM kept),
+            kg AS (
+              SELECT DISTINCT doc_id,
+                array_to_string(ws[u.i:u.i+2], ' ') AS gram
+              FROM kw, LATERAL unnest(generate_series(1, len(ws) - 2))
+                   AS u(i)
+              WHERE len(ws) >= 3),
+            dirty AS (SELECT DISTINCT doc_id FROM kg JOIN bg USING (gram)),
+            clean AS (
+              SELECT k.doc_id, k.text FROM kept k
+              LEFT JOIN dirty d USING (doc_id) WHERE d.doc_id IS NULL),
+            win AS (
+              SELECT doc_id, text, row_number() OVER (
+                PARTITION BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                ORDER BY doc_id) AS rn
+              FROM clean),
+            pd AS (
+              SELECT doc_id,
+                CASE WHEN rn = 1 THEN text ELSE '' END AS t2,
+                CASE WHEN rn = 1 THEN 1 ELSE 0 END AS nk
+              FROM win)
+            , r1 AS (
+              SELECT doc_id, nk, t2,
+                regexp_replace(t2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS u1
+              FROM pd),
+            r2 AS (
+              SELECT *, regexp_replace(u1,
+                '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS u2
+              FROM r1)
+            SELECT doc_id,
+              regexp_replace(u2,
+                '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS text,
+              CAST(1 AS int) AS n_paras,
+              CAST(nk AS int) AS n_paras_kept,
+              CAST(len(regexp_extract_all(t2,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                AS int) AS n_emails,
+              CAST(len(regexp_extract_all(u1,
+                '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS int) AS n_ipv4,
+              CAST(len(regexp_extract_all(u2,
+                '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS int) AS n_phones
+            FROM r2
+        """,
         "scrub_paragraph_dedup": """
             -- replays _scrub_paragraph_docs + dedup_paragraphs: build the
             -- same 3-paragraph planted text, fingerprint each paragraph
@@ -2437,11 +2594,6 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (genuinely non-SQL-expressible: hash-signature /
         # iterative / float-ANN / engine-specific-sampler / fake-decode
         # kernels; pytest carries their oracles instead — see tests/):
-        #   extract_full (EVERY corpus row is per-row hash-checked via
-        #   extract_t0_full + extract_tpl_full + extract_edge_cases — all
-        #   8 templates and all 7 edge kinds; this combined row stays
-        #   rows-only merely because its one-query union shape carries no
-        #   extra information),
         #   dedup_minhash_lsh, dedup_simhash (the exact-copy twin
         #   dedup_simhash_planted IS hash-checked), dedup_components,
         #   doc_fingerprints, winnow_overlap, cdc_chunks,
@@ -2452,3 +2604,30 @@ def oracle_sql() -> dict[str, str]:
         #   hash-checked), sample_seeded (the md5-coin twin
         #   sample_seeded_portable IS hash-checked), multimodal_media_meta
     }
+    # extract_full = the whole corpus in one result, composed VERBATIM
+    # from the three per-family derivations (each independently
+    # hash-green) so the whole-corpus twin cannot drift from them. Keyed
+    # by page_i (bijective with url; the url host is seeded-RNG
+    # decoration no SQL can derive). Edge pages take lang from the
+    # wrapped doc (corpus.py: lang = langs[i % ndocs]).
+    d["extract_full"] = f"""
+        WITH n AS (SELECT count(*) AS ndocs FROM documents)
+        SELECT page_i, lang, extracted_text, n_blocks_kept,
+               n_blocks_total, status
+        FROM (
+          SELECT page_i, lang, extracted_text, n_blocks_kept,
+                 n_blocks_total, status
+          FROM ({d["extract_t0_full"]})
+          UNION ALL
+          SELECT page_i, lang, extracted_text, n_blocks_kept,
+                 n_blocks_total, status
+          FROM ({d["extract_tpl_full"]})
+          UNION ALL
+          SELECT e.page_i, doc.lang, e.extracted_text, e.n_blocks_kept,
+                 e.n_blocks_total, e.status
+          FROM ({d["extract_edge_cases"]}) e
+          CROSS JOIN n
+          JOIN documents doc ON doc.doc_id = e.page_i % n.ndocs
+        )
+    """
+    return d
