@@ -426,6 +426,50 @@ def _q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count_bpe(F.col("text")).alias("n_bpe_tokens"))
 
 
+def _planted_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic corpus for the REAL BPE's hash oracle: doc i is
+    n_words = 1 + i%7 words, word j = 'ab' repeated k_j = 1 + (i+3j)%31
+    times. Under the power-merges table the classic greedy merge loop
+    pairs left-to-right per level (binary carries), so word j encodes to
+    exactly bit_count(k_j) tokens — validated for every k in 1..31
+    against encode_len before the SQL was written (pinned in
+    tests/test_bpe.py)."""
+    text = F.expr(
+        "array_join(transform(sequence(1, 1 + cast(doc_id % 7 as int)), "
+        "j -> repeat('ab', cast(1 + (doc_id + 3*j) % 31 as int))), ' ')")
+    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+
+
+def _q_token_count_bpe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL merges-table BPE counting (operators/bpe.py: classic greedy
+    lowest-rank merges, broadcast vocab, memoized Arrow batches) — the
+    deterministic successor to the token_count_bpe regex stand-in for the
+    reference's HF-tokenizer cost model (reference parse.py:17-18).
+    Hash-verified via the planted power-merges construction; arbitrary-
+    text behavior is pinned against a spec implementation in pytest."""
+    from llmap_spark.operators.bpe import bpe_token_count, power_merges
+
+    return bpe_token_count(
+        _planted_bpe_docs(spark, sf_dir), power_merges(5)).select(
+        "doc_id", "n_bpe2_tokens")
+
+
+def _q_collate_binpack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collate driven by the REAL BPE cost model: prefix-sum packing of
+    the planted-BPE docs under a 64-token budget, sizes computed by the
+    actual encoder (not the regex stand-in) — token counting and request
+    packing composed exactly as the reference composes them
+    (parse.py:17-18 feeding llmap.py:23-64)."""
+    from llmap_spark.operators.binpack import collate_approx
+    from llmap_spark.operators.bpe import bpe_token_count, power_merges
+
+    sized = bpe_token_count(_planted_bpe_docs(spark, sf_dir),
+                            power_merges(5))
+    return collate_approx(sized, "doc_id", "n_bpe2_tokens",
+                          budget=64).select(
+        "doc_id", "n_bpe2_tokens", "group_id")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.textstats import lang_id
 
@@ -1383,6 +1427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quality_weighted": _q_sample_quality_weighted,
         "sample_seeded_portable": _q_sample_seeded_portable,
         "pipeline_curated_nfc_planted": _q_pipeline_curated_nfc_planted,
+        "token_count_bpe2": _q_token_count_bpe2,
+        "collate_binpack_bpe": _q_collate_binpack_bpe,
         "sample_seeded": _q_sample_seeded,
         "explode_chunks": _q_explode_chunks,
         "union_passthrough": _q_union_passthrough,
@@ -2076,6 +2122,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS union_sz
             FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
             WHERE 10 * inter >= sa.sz + sb.sz - inter
+        """,
+        "token_count_bpe2": """
+            -- the real BPE under power merges = binary-carry pairing:
+            -- word j of doc i ('ab' x k_j, k_j = 1 + (i+3j)%31) encodes
+            -- to bit_count(k_j) tokens (derivation validated against
+            -- encode_len for all k before this SQL was written)
+            SELECT d.doc_id,
+              CAST(sum(bit_count(CAST(1 + (d.doc_id + 3*j.j) % 31
+                                      AS bigint))) AS int)
+                AS n_bpe2_tokens
+            FROM documents d,
+                 LATERAL unnest(generate_series(
+                   1, CAST(1 + d.doc_id % 7 AS int))) AS j(j)
+            GROUP BY d.doc_id
+        """,
+        "collate_binpack_bpe": """
+            WITH s AS (
+              SELECT d.doc_id,
+                CAST(sum(bit_count(CAST(1 + (d.doc_id + 3*j.j) % 31
+                                        AS bigint))) AS int)
+                  AS n_bpe2_tokens
+              FROM documents d,
+                   LATERAL unnest(generate_series(
+                     1, CAST(1 + d.doc_id % 7 AS int))) AS j(j)
+              GROUP BY d.doc_id)
+            SELECT doc_id, n_bpe2_tokens,
+              CAST(floor(coalesce(sum(n_bpe2_tokens) OVER
+                (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 64) AS bigint) AS group_id
+            FROM s
         """,
         "collate_binpack": """
             SELECT doc_id, CAST(floor(coalesce(sum(n_chars) OVER
