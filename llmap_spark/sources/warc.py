@@ -207,6 +207,68 @@ def write_wet(df, out_dir: str,
     return len(_glob.glob(os.path.join(out_dir, "part-*.warc.wet.gz")))
 
 
+def gzip_member_offsets(f, max_members: int = MAX_RECORDS_PER_FILE) -> list[int]:
+    """Absolute byte offsets at which each gzip member ENDS, by streaming
+    the file through zlib with BOUNDED memory (1 MB input blocks, 1 MB
+    output windows, output discarded — indexing a multi-GB archive never
+    buffers it). Gzip carries no member-length field, so one decompression
+    pass is the only way to find boundaries; this is the 'offset index
+    pass' that makes oversized archives splittable at member boundaries.
+    Total: a truncated/corrupt tail yields the members indexed so far;
+    non-gzip input yields []."""
+    import zlib
+
+    ends: list[int] = []
+    base = 0          # absolute offset of buf[0]
+    buf = b""
+    d = zlib.decompressobj(31)
+    while True:
+        if not buf:
+            buf = f.read(1 << 20)
+            if not buf:
+                break
+        try:
+            d.decompress(buf, 1 << 20)
+        except zlib.error:
+            break
+        if d.eof:
+            rem = d.unused_data
+            end = base + (len(buf) - len(rem))
+            ends.append(end)
+            if len(ends) >= max_members:
+                break
+            buf = rem
+            base = end
+            d = zlib.decompressobj(31)
+            continue
+        tail = d.unconsumed_tail
+        if tail:
+            # output-window-limited: keep draining the same input
+            base += len(buf) - len(tail)
+            buf = tail
+            continue
+        base += len(buf)
+        buf = b""
+    return ends
+
+
+def _member_chunks(path: str, target_chunk_bytes: int) -> list[tuple[int, int]]:
+    """Group consecutive gzip members of `path` into (start, length) spans
+    of ~target_chunk_bytes compressed size (always whole members, so each
+    span is a valid multi-member gzip stream)."""
+    with open(path, "rb") as f:
+        ends = gzip_member_offsets(f)
+    chunks: list[tuple[int, int]] = []
+    start = 0
+    for e in ends:
+        if e - start >= target_chunk_bytes:
+            chunks.append((start, e - start))
+            start = e
+    if ends and ends[-1] > start:
+        chunks.append((start, ends[-1] - start))
+    return chunks
+
+
 def _warc_ts(col_name: str):
     """WARC-Date string -> timestamp, total: WARC 1.1 fractional seconds
     are truncated (the engine's integer-second convention), and a
@@ -258,19 +320,46 @@ def read_wet(spark, path: str):
         "extracted_text", "wet_path")
 
 
-def read_warc(spark, path: str):
+_WARC_ROWS_SCHEMA = ("url string, warc_date string, html binary, "
+                     "warc_path string")
+
+
+def _finish_warc_df(parsed):
+    return parsed.select(
+        "url", _warc_ts("warc_date").alias("warc_ts"),
+        "html", "warc_path")
+
+
+def read_warc(spark, path: str, split_threshold: int | None = None,
+              target_chunk_bytes: int = 128 << 20):
     """WARC archives under `path` -> DataFrame(url, warc_ts, html, warc_path).
 
-    One task per archive (binaryFile scan; WARC gzip members are not
-    block-splittable) running the SAME parse_warc the tests pin —
-    `warc_path` rides along for lineage, mirroring the pages table schema
-    otherwise so `plans.pipeline.extract` consumes the result directly."""
+    Default shape: one task per archive (binaryFile scan; WARC gzip
+    members are not block-splittable mid-member) running the SAME
+    parse_warc the tests pin — `warc_path` rides along for lineage,
+    mirroring the pages table schema otherwise so
+    `plans.pipeline.extract` consumes the result directly.
+
+    SKEW GUARD (split_threshold=<bytes>): archives LARGER than the
+    threshold are split at gzip-MEMBER boundaries so one multi-GB archive
+    no longer pins a single task's memory and wall-clock. Two extra
+    stages, both distributed: (1) an offset index pass — one task per
+    oversized file streams it through zlib with bounded memory and
+    groups members into ~target_chunk_bytes spans (gzip has no member
+    length field, so one decompression pass is the only way to find the
+    boundaries); (2) ranged reads — each span seeks/reads only its bytes
+    and parses them with the same kernel, so a valid multi-member slice
+    yields byte-identical records to the whole-file parse (pinned by
+    tests/test_warc.py::test_split_read_matches_whole_read). Files at or
+    under the threshold keep the one-task binaryFile route.
+
+    The split path opens files by PATH from executors, so `path` must be
+    a driver+executor-visible mount (the write_wet shared-FS contract);
+    the default route has no such requirement. Caps (MAX_RECORDS_PER_FILE
+    etc.) apply per scan unit — per chunk when splitting."""
     from collections.abc import Iterator
 
     import pandas as pd
-    from pyspark.sql import functions as F
-
-    files = spark.read.format("binaryFile").load(path)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -283,8 +372,67 @@ def read_warc(spark, path: str):
                     rows["warc_path"].append(p)
             yield pd.DataFrame(rows)
 
-    parsed = files.select("path", "content").mapInPandas(
-        parse, "url string, warc_date string, html binary, warc_path string")
-    return parsed.select(
-        "url", _warc_ts("warc_date").alias("warc_ts"),
-        "html", "warc_path")
+    if split_threshold is None:
+        files = spark.read.format("binaryFile").load(path)
+        return _finish_warc_df(
+            files.select("path", "content").mapInPandas(
+                parse, _WARC_ROWS_SCHEMA))
+
+    import glob as _glob
+    import os
+
+    pattern = os.path.join(path, "*") if os.path.isdir(path) else path
+    paths = sorted(p for p in _glob.glob(pattern) if os.path.isfile(p))
+    small = [p for p in paths if os.path.getsize(p) <= split_threshold]
+    large = [p for p in paths if os.path.getsize(p) > split_threshold]
+    parts = []
+    if small:
+        files = spark.read.format("binaryFile").load(small)
+        parts.append(files.select("path", "content").mapInPandas(
+            parse, _WARC_ROWS_SCHEMA))
+    if large:
+        chunk_target = target_chunk_bytes
+
+        def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {"path": [], "start": [], "length": []}
+                for p in pdf["path"]:
+                    for s, ln in _member_chunks(p, chunk_target):
+                        rows["path"].append(p)
+                        rows["start"].append(s)
+                        rows["length"].append(ln)
+                yield pd.DataFrame(rows)
+
+        def parse_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {"url": [], "warc_date": [], "html": [],
+                        "warc_path": []}
+                for p, s, ln in zip(pdf["path"], pdf["start"],
+                                    pdf["length"]):
+                    with open(p, "rb") as f:
+                        f.seek(int(s))
+                        blob = f.read(int(ln))
+                    # 'file:' + absolute path matches binaryFile's URI
+                    # spelling so both routes emit identical lineage
+                    uri = "file:" + os.path.abspath(p)
+                    for url, date, payload in parse_warc(blob):
+                        rows["url"].append(url)
+                        rows["warc_date"].append(date)
+                        rows["html"].append(payload)
+                        rows["warc_path"].append(uri)
+                yield pd.DataFrame(rows)
+
+        idx_in = spark.createDataFrame(
+            [(p,) for p in large], "path string").repartition(len(large))
+        chunks = idx_in.mapInPandas(index, "path string, start long, length long")
+        # spread chunk parses across the cluster: the tiny (path, start)
+        # rows shuffle, the archive bytes never do
+        chunks = chunks.repartition("path", "start")
+        parts.append(chunks.mapInPandas(parse_ranges, _WARC_ROWS_SCHEMA))
+    if not parts:
+        empty = spark.createDataFrame([], _WARC_ROWS_SCHEMA)
+        return _finish_warc_df(empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _finish_warc_df(out)

@@ -77,6 +77,68 @@ def test_spark_reader_roundtrips_pages(spark, tmp_path):
     assert ex.count() == len(want)
 
 
+def test_gzip_member_offsets_align_with_records():
+    """The offset index finds exactly the make_warc member boundaries,
+    streaming (never loading the archive whole)."""
+    import io
+
+    recs = [(f"https://x.example/{i}", "2025-01-01T00:00:00Z",
+             b"p" * (100 + i)) for i in range(20)]
+    blob = warc.make_warc(recs)
+    ends = warc.gzip_member_offsets(io.BytesIO(blob))
+    assert len(ends) == 20
+    assert ends[-1] == len(blob)
+    # each boundary starts a fresh gzip magic (or is EOF)
+    for e in ends[:-1]:
+        assert blob[e:e + 2] == b"\x1f\x8b"
+    # truncated tail: members before the cut still index
+    cut = ends[9] + 5
+    assert warc.gzip_member_offsets(io.BytesIO(blob[:cut])) == ends[:10]
+    # non-gzip input: total, empty
+    assert warc.gzip_member_offsets(io.BytesIO(b"not gzip at all")) == []
+
+
+def test_split_read_matches_whole_read(spark, tmp_path):
+    """The oversized-archive skew guard: a planted fat archive scans as
+    MULTIPLE tasks (member-boundary chunks) with output identical to the
+    one-task whole-file route — url, bytes, timestamp, and lineage path
+    all byte-equal."""
+    from pyspark.sql import functions as F
+
+    recs = [(f"https://fat.example/doc{i}", "2025-01-01T00:00:00Z",
+             (f"<html><body><p>payload {i} " + "x" * 400 + "</p></body></html>")
+             .encode()) for i in range(64)]
+    fat = tmp_path / "fat-00000.warc.gz"
+    fat.write_bytes(warc.make_warc(recs))
+    small_recs = recs[:3]
+    small = tmp_path / "small-00000.warc.gz"
+    small.write_bytes(warc.make_warc(small_recs))
+
+    whole = warc.read_warc(spark, str(tmp_path))
+    split = warc.read_warc(spark, str(tmp_path),
+                           split_threshold=small.stat().st_size,
+                           target_chunk_bytes=4096)
+
+    def rows(df):
+        return sorted((r.url, bytes(r.html), r.warc_ts, r.warc_path)
+                      for r in df.collect())
+
+    assert rows(split) == rows(whole)
+    # the fat archive really was split: its records came from >1 task
+    n_tasks = (split.filter(F.col("url").like("https://fat.example/%"))
+               .select(F.spark_partition_id().alias("pid"))
+               .distinct().count())
+    assert n_tasks > 1
+    # and the chunk index is member-aligned (no partial members)
+    chunks = warc._member_chunks(str(fat), 4096)
+    assert len(chunks) > 1
+    assert chunks[0][0] == 0
+    assert sum(ln for _, ln in chunks) == fat.stat().st_size
+    for s, ln in chunks:
+        blob = fat.read_bytes()[s:s + ln]
+        assert blob[:2] == b"\x1f\x8b"
+
+
 def test_wet_sink_roundtrips_extraction(spark, tmp_path):
     """extract -> write_wet (per-partition executor-side archives) ->
     parse_warc(conversion) reads the extracted text back byte-identical
