@@ -1098,6 +1098,14 @@ def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = (Path(__file__).resolve().parent / ".cache" / "warc_fixture"
            / (Path(sf_dir).name + "-" + _table_stat_key(sf_dir, "documents")))
     if not tmp.is_dir() or not any(tmp.glob("seg-*.warc.gz")):
+        # prune superseded keys for this tier first: each fixture
+        # regeneration would otherwise strand the previous corpus-sized
+        # archive dir forever (bounded to one dir per tier)
+        import shutil
+
+        for stale in tmp.parent.glob(Path(sf_dir).name + "-*"):
+            if stale != tmp and stale.is_dir():
+                shutil.rmtree(stale, ignore_errors=True)
         tmp.mkdir(parents=True, exist_ok=True)
         rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
         n_shards = 8

@@ -41,7 +41,10 @@ import html as _htmlmod
 import re
 from typing import NamedTuple
 
-KERNEL_VERSION = "2.3.0"
+# 2.4.0: lineage schema gained n_empty — the version gate exists exactly
+# so a resume cannot mix lineage/extraction schemas across snapshots
+# (extraction output bytes are unchanged from 2.3.0)
+KERNEL_VERSION = "2.4.0"
 
 # --- bounded per-item work (reference parse.py:20-26 analogue) ------------
 MAX_HTML_BYTES = 1_000_000  # raw html byte cap per page

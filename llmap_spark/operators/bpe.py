@@ -44,9 +44,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-MergeList = "list[tuple[str, str]]"
-
-
 def power_merges(levels: int = 5, a: str = "a", b: str = "b") -> list[tuple[str, str]]:
     """The planted-oracle merges table: (a,b), then (ab,ab), (abab,abab),
     ... doubling for `levels-1` more ranks. Under these merges
@@ -177,6 +174,14 @@ def bpe_token_count_udf(df_or_spark, merges: list[tuple[str, str]]):
 def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
                     text_col: str = "text",
                     out_col: str = "n_bpe2_tokens") -> DataFrame:
-    """Add a real-BPE token count column. NULL text counts 0 (total)."""
+    """Add a real-BPE token count column. NULL text counts 0 (total).
+
+    Python-UDF operator, so the input gets the single-split widening
+    guard (a sub-128MB one-file table scans as ONE task and would
+    serialize the whole encode pass on one core — the standing
+    ensure_parallelism contract)."""
+    from llmap_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     udf = bpe_token_count_udf(df, merges)
     return df.withColumn(out_col, udf(F.col(text_col)))

@@ -63,9 +63,19 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     NULL text -> NULL fingerprint = UNKNOWN content, never a duplicate:
     null keys drop out of the groupBy winners and never match the
     join-back, so every null-text row is its own representative without
-    ever shuffling into a shared null bucket."""
+    ever shuffling into a shared null bucket.
+
+    CONTRACT: `id_col` must be a unique, non-null key (what a document id
+    IS; min-per-fingerprint winners are meaningless otherwise). The
+    verdict re-attach is a LEFT join on that key, so a pathological
+    null-id row still survives (rep_id = its own null id, fingerprint
+    NULL) rather than silently dropping; duplicate ids would
+    cross-attach verdicts and are the caller's bug."""
     from llmap_spark.cache import register_persisted
 
+    # match the old withColumn semantics: a pre-existing fingerprint
+    # column is replaced, not duplicated into a join ambiguity
+    df = df.drop("fingerprint", "rep_id", "is_dup")
     slim = (fingerprint(df.select(id_col, text_col), text_col)
             .select(id_col, "fingerprint").persist())
     register_persisted(slim)
@@ -78,7 +88,8 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
         .select(id_col, "fingerprint", "rep_id")
     )
     return (
-        df.join(verdict, id_col)
+        df.join(verdict, [id_col], "left")
+        .withColumn("rep_id", F.coalesce(F.col("rep_id"), F.col(id_col)))
         .withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
         # the USING join hoists the key to column 0; restore input order
         .select(*df.columns, "fingerprint", "rep_id", "is_dup")

@@ -387,7 +387,12 @@ def read_warc(spark, path: str, split_threshold: int | None = None,
     large = [p for p in paths if os.path.getsize(p) > split_threshold]
     parts = []
     if small:
-        files = spark.read.format("binaryFile").load(small)
+        # explicit file: scheme — these paths came from a DRIVER-LOCAL
+        # glob (the split path's shared-mount contract), so they must not
+        # resolve against fs.defaultFS (hdfs:// on a real cluster would
+        # read a different namespace than the large-file open() branch)
+        files = spark.read.format("binaryFile").load(
+            ["file://" + os.path.abspath(p) for p in small])
         parts.append(files.select("path", "content").mapInPandas(
             parse, _WARC_ROWS_SCHEMA))
     if large:

@@ -429,6 +429,29 @@ def test_exact_dedup_null_text_never_dup(spark):
         assert got[d] == (d, False)
 
 
+def test_exact_dedup_preserves_rows_and_extra_columns(spark):
+    """The verdict re-attach must neither drop nor multiply rows: every
+    input row (including a pathological NULL-id one) comes back exactly
+    once with its extra columns intact, and a pre-existing fingerprint
+    column is replaced, not ambiguated (the round-4 single-md5-pass
+    rewrite briefly used an inner id join that dropped null-id rows)."""
+    from llmap_spark.operators.dedup import exact_dedup
+
+    rows = [(1, "same real content here", "a", "stale"),
+            (2, "same real content here", "b", "stale"),
+            (None, "loner content row", "c", "stale"),
+            (7, None, "d", "stale")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, tag string, fingerprint string")
+    out = exact_dedup(df).collect()
+    assert len(out) == len(rows)
+    got = {r.tag: r for r in out}
+    assert got["a"].rep_id == 1 and got["b"].is_dup
+    assert got["a"].fingerprint != "stale"  # replaced, not duplicated
+    assert got["c"].rep_id is None  # null id survives as its own row
+    assert got["d"].fingerprint is None and not got["d"].is_dup
+
+
 def test_embedding_lsh_neardup_total_on_degenerate_input(spark):
     """Never-raise rule: empty corpus, NULL embeddings, and ragged rows
     all flow through without exceptions and never appear in pairs."""
