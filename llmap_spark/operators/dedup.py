@@ -261,12 +261,31 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
            .filter(F.col("_bn") > max_bucket)
            .select("band", "bh"))
     pruned = exploded.join(hot, ["band", "bh"], "left_anti")
-    a = pruned.select(F.col("_id").alias("id_a"), "band", "bh")
-    b = pruned.select(F.col("_id").alias("id_b"), "band", "bh")
-    pairs = (
-        a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-    )
+    if max_bucket <= 1024:
+        # post-prune, every bucket is <= max_bucket members, so pair
+        # generation can be ONE groupBy + bounded in-array expansion
+        # (max_bucket^2/2 structs per bucket row — hence the 1024 guard:
+        # ~500k structs is the most we let one aggregate row hold)
+        # instead of a two-sided self-join. Saves a full exchange of the
+        # exploded frame AND stops the counts/anti-join subtree being
+        # evaluated once per join side (the winnow_overlap_pairs shape).
+        byb = (pruned.groupBy("band", "bh")
+               .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
+        pairs = (byb.select(F.explode(F.flatten(F.expr(
+            "transform(ids, (x, i) -> transform("
+            "  slice(ids, i + 2, size(ids) - i - 1),"
+            "  y -> struct(x AS id_a, y AS id_b)))"
+        ))).alias("p")).select("p.id_a", "p.id_b").distinct())
+    else:
+        # big caps: the in-array expansion would be quadratic in the cap;
+        # fall back to the equi-self-join (AQE can skew-split it)
+        a = pruned.select(F.col("_id").alias("id_a"), "band", "bh")
+        b = pruned.select(F.col("_id").alias("id_b"), "band", "bh")
+        pairs = (
+            a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct()
+        )
     sa = sig.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"))
     # no broadcast hint: AQE turns these into broadcast joins at runtime
