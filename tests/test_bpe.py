@@ -77,6 +77,23 @@ def test_spark_operator_totality_and_counts(spark):
     assert out == {0: 2, 1: 0, 2: 0, 3: 3}
 
 
+def test_train_from_df_bounded_and_deterministic(spark):
+    """The Spark training path: bounded portable sample, deterministic
+    result, and the trained table actually tokenizes the corpus."""
+    from llmap_spark.operators.bpe import train_bpe_from_df
+
+    df = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(50)],
+        "doc_id long, text string")
+    m1 = train_bpe_from_df(df, n_merges=8, sample_rows=20)
+    m2 = train_bpe_from_df(df, n_merges=8, sample_rows=20)
+    # the tiny vocabulary exhausts its pair space at 7 merges — training
+    # must stop there, not loop or pad
+    assert m1 == m2 and 0 < len(m1) <= 8
+    ranks = {tuple(p): i for i, p in enumerate(m1)}
+    assert encode_len("the", ranks) == 1
+
+
 def test_planted_query_matches_arithmetic(spark):
     import __spark_entry__ as e
 
