@@ -57,11 +57,16 @@ def kept_documents(docs: DataFrame, id_col: str = "doc_id",
 
     q = quality_features(docs, text_col=text_col).filter(F.col("q_keep"))
     reps = exact_dedup(q, id_col=id_col, text_col=text_col) \
-        .filter(~F.col("is_dup"))
+        .filter(~F.col("is_dup")) \
+        .select(id_col, text_col)
     # reps feeds BOTH the LSH stage (materialized eagerly below, which
     # populates this cache) and the final anti-join — persisting avoids a
     # second full quality+window pass over the corpus (measured ~40% off
-    # the whole chain at sf0.1). Storage is MEMORY_AND_DISK with LRU
+    # the whole chain at sf0.1). SLIMMED to (id, text) before the persist
+    # (round 4): downstream needs nothing else — LSH projects exactly
+    # these two and the final output is ids — so caching the quality
+    # feature columns + fingerprint would only widen the cache and every
+    # downstream exchange. Storage is MEMORY_AND_DISK with LRU
     # eviction, so an over-large corpus spills rather than OOMs; the
     # persist is registered with llmap_spark.cache so a long-lived session
     # releases it via release_persisted().
