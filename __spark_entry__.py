@@ -1188,11 +1188,14 @@ def _q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted as pure doc_id arithmetic, then parsed back from the container
     headers by llmap_spark.media_meta (stdlib, integer-exact). The oracle
     recomputes the planted formulas from doc_id — a full encode/parse
-    roundtrip with a hashable SQL twin."""
+    roundtrip with a hashable SQL twin. Kind families are kept per-query
+    so no sort-leading column mixes NULL and int (the driver's
+    order-insensitive compare sorts row tuples): the MP4 leg lives in
+    multimodal_video_meta, whose columns are all non-null."""
     import pandas as pd
 
-    from llmap_spark.media_meta import (make_gif, make_jpeg, make_png,
-                                        make_wav, with_media_meta)
+    from llmap_spark.media_meta import (make_gif, make_jpeg, make_mp4,
+                                        make_png, make_wav, with_media_meta)
 
     docs = _docs(spark, sf_dir).select("doc_id")
 
@@ -1216,6 +1219,33 @@ def _q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
     return with_media_meta(payloads, "payload", keep_cols=("doc_id",))
+
+
+def _q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 (ISO-BMFF) header metadata, driver-verified: every doc is
+    rendered as a minimal ftyp+moov(mvhd+trak(tkhd)) file with planted
+    16.16-fixed track dimensions and a timescale-normalized duration,
+    then parsed back by the stdlib box walker (media_meta._mp4). All
+    output columns are non-null by construction (see
+    multimodal_image_meta on why that matters for the compare)."""
+    import pandas as pd
+
+    from llmap_spark.media_meta import make_mp4, with_media_meta
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf_ in batches:
+            payloads = [
+                make_mp4(16 + int(d) % 97, 16 + int(d) % 53,
+                         1000 + int(d) % 9973)
+                for d in pdf_["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf_["doc_id"],
+                                "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return with_media_meta(payloads, "payload", keep_cols=("doc_id",)) \
+        .select("doc_id", "kind", "width", "height", "duration_ms")
 
 
 def _q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1450,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": _q_multimodal_image_meta,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "multimodal_media_meta": _q_multimodal_media_meta,
+        "multimodal_video_meta": _q_multimodal_video_meta,
         # --- extraction funnel (SURVEY §2 #1-#28 composed; r3-green) ---
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_status_counts": _q_extract_status_counts,
@@ -2013,7 +2044,15 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN doc_id % 4 = 3
                    THEN CAST(8000 * (1 + doc_id % 6) AS INTEGER) END AS sample_rate,
               CASE WHEN doc_id % 4 = 3
-                   THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels
+                   THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+              CAST(NULL AS INTEGER) AS duration_ms
+            FROM documents
+        """,
+        "multimodal_video_meta": """
+            SELECT doc_id, 'video/mp4' AS kind,
+              CAST(16 + doc_id % 97 AS INTEGER) AS width,
+              CAST(16 + doc_id % 53 AS INTEGER) AS height,
+              CAST(1000 + doc_id % 9973 AS INTEGER) AS duration_ms
             FROM documents
         """,
         "token_count": f"""

@@ -1,6 +1,6 @@
 """Stdlib-only media header metadata: PNG / GIF / JPEG dimensions + bit
-depth, WAV sample rate / channels / bits — parsed from container headers,
-no codec library.
+depth, WAV sample rate / channels / bits, MP4 (ISO-BMFF) track dimensions
++ duration — parsed from container headers, no codec library.
 
 Replaces the round-1 byte-histogram stand-in as the *metadata* half of the
 multimodal story: full pixel/sample decode still needs codec libs (the
@@ -24,7 +24,7 @@ import zlib
 from typing import NamedTuple
 
 MEDIA_META_SCHEMA = ("kind string, width int, height int, bit_depth int, "
-                     "sample_rate int, channels int")
+                     "sample_rate int, channels int, duration_ms int")
 
 # JPEG start-of-frame markers (C0-CF minus DHT C4, JPG C8, DAC CC)
 _SOF_MARKERS = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
@@ -38,26 +38,27 @@ class MediaMeta(NamedTuple):
     bit_depth: int | None
     sample_rate: int | None
     channels: int | None
+    duration_ms: int | None
 
 
-_NULL = MediaMeta(None, None, None, None, None, None)
+_NULL = MediaMeta(None, None, None, None, None, None, None)
 
 
 def _png(b: bytes) -> MediaMeta:
     if len(b) < 26 or b[12:16] != b"IHDR":
-        return MediaMeta("image/png", None, None, None, None, None)
+        return MediaMeta("image/png", None, None, None, None, None, None)
     w = int.from_bytes(b[16:20], "big")
     h = int.from_bytes(b[20:24], "big")
-    return MediaMeta("image/png", w, h, b[24], None, None)
+    return MediaMeta("image/png", w, h, b[24], None, None, None)
 
 
 def _gif(b: bytes) -> MediaMeta:
     if len(b) < 11:
-        return MediaMeta("image/gif", None, None, None, None, None)
+        return MediaMeta("image/gif", None, None, None, None, None, None)
     w = int.from_bytes(b[6:8], "little")
     h = int.from_bytes(b[8:10], "little")
     depth = (b[10] & 0x07) + 1  # global color table size exponent
-    return MediaMeta("image/gif", w, h, depth, None, None)
+    return MediaMeta("image/gif", w, h, depth, None, None, None)
 
 
 def _jpeg(b: bytes) -> MediaMeta:
@@ -81,11 +82,11 @@ def _jpeg(b: bytes) -> MediaMeta:
             precision = b[i + 4]
             h = int.from_bytes(b[i + 5:i + 7], "big")
             w = int.from_bytes(b[i + 7:i + 9], "big")
-            return MediaMeta("image/jpeg", w, h, precision, None, None)
+            return MediaMeta("image/jpeg", w, h, precision, None, None, None)
         if seg_len < 2:
             break
         i += 2 + seg_len
-    return MediaMeta("image/jpeg", None, None, None, None, None)
+    return MediaMeta("image/jpeg", None, None, None, None, None, None)
 
 
 def _wav(b: bytes) -> MediaMeta:
@@ -98,9 +99,63 @@ def _wav(b: bytes) -> MediaMeta:
             ch = int.from_bytes(b[i + 10:i + 12], "little")
             sr = int.from_bytes(b[i + 12:i + 16], "little")
             bits = int.from_bytes(b[i + 22:i + 24], "little")
-            return MediaMeta("audio/wav", None, None, bits, sr, ch)
+            return MediaMeta("audio/wav", None, None, bits, sr, ch, None)
         i += 8 + size + (size & 1)  # chunks are word-aligned
-    return MediaMeta("audio/wav", None, None, None, None, None)
+    return MediaMeta("audio/wav", None, None, None, None, None, None)
+
+
+def _boxes(b: bytes, start: int, end: int):
+    """Iterate ISO-BMFF boxes in b[start:end] as (type, payload_start,
+    payload_end). Handles 64-bit largesize (size==1) and to-EOF (size==0);
+    bails on any malformed size (total)."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i:i + 4], "big")
+        typ = b[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(b[i + 8:i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr:
+            return
+        yield typ, i + hdr, min(i + size, end)
+        i += size
+
+
+def _mp4(b: bytes) -> MediaMeta:
+    """moov/mvhd -> duration_ms (timescale-normalized); first trak/tkhd
+    with nonzero 16.16-fixed dimensions -> width/height (the video track;
+    audio tracks carry zero dims)."""
+    dur = ts = w = h = None
+    for typ, s, e in _boxes(b, 0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in _boxes(b, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                if b[s2] == 1 and e2 - s2 >= 32:  # version 1: 64-bit times
+                    ts = int.from_bytes(b[s2 + 20:s2 + 24], "big")
+                    dur = int.from_bytes(b[s2 + 24:s2 + 32], "big")
+                else:
+                    ts = int.from_bytes(b[s2 + 12:s2 + 16], "big")
+                    dur = int.from_bytes(b[s2 + 16:s2 + 20], "big")
+            elif t2 == b"trak" and w is None:
+                for t3, s3, e3 in _boxes(b, s2, e2):
+                    if t3 == b"tkhd":
+                        off = s3 + (88 if b[s3] == 1 else 76)
+                        if off + 8 <= e3:
+                            tw = int.from_bytes(b[off:off + 4], "big") >> 16
+                            th = int.from_bytes(b[off + 4:off + 8], "big") >> 16
+                            if tw and th:
+                                w, h = tw, th
+        break
+    dur_ms = (dur * 1000) // ts if dur is not None and ts else None
+    if dur_ms is not None and dur_ms > 0x7FFFFFFF:
+        dur_ms = None  # would overflow the int column; treat as unknown
+    return MediaMeta("video/mp4", w, h, None, None, None, dur_ms)
 
 
 def parse_media_meta(payload: bytes | None) -> MediaMeta:
@@ -117,6 +172,8 @@ def parse_media_meta(payload: bytes | None) -> MediaMeta:
             return _jpeg(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _wav(payload)
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            return _mp4(payload)
     except Exception:
         return _NULL
     return _NULL
@@ -180,3 +237,28 @@ def make_wav(sample_rate: int, channels: int = 1, bits: int = 16,
     body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_mp4(width: int, height: int, duration_ms: int,
+             timescale: int = 1000) -> bytes:
+    """Minimal well-formed ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)) with
+    the planted duration and 16.16-fixed track dimensions. Deterministic."""
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    dur = duration_ms * timescale // 1000
+    mvhd = (b"\x00\x00\x00\x00"                       # version/flags
+            + struct.pack(">II", 0, 0)                    # creation/modification
+            + struct.pack(">II", timescale, dur)
+            + struct.pack(">I", 0x00010000)               # rate 1.0
+            + struct.pack(">H", 0x0100) + b"\x00" * 10   # volume + reserved
+            + b"\x00" * 36 + b"\x00" * 24               # matrix + predefined
+            + struct.pack(">I", 2))                       # next track id
+    tkhd = (b"\x00\x00\x00\x07"                       # version/flags (enabled)
+            + struct.pack(">IIII", 0, 0, 1, 0)            # times, track 1, rsvd
+            + struct.pack(">I", dur) + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)            # layer/alt/volume/rsvd
+            + b"\x00" * 36                               # matrix
+            + struct.pack(">II", width << 16, height << 16))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    return ftyp + box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))

@@ -15,7 +15,7 @@ from llmap_spark import media_meta as mm
                                    (65535, 1, 2)])
 def test_png_roundtrip(w, h, d):
     got = mm.parse_media_meta(mm.make_png(w, h, d))
-    assert got == ("image/png", w, h, d, None, None)
+    assert got == ("image/png", w, h, d, None, None, None)
 
 
 def test_png_is_fully_valid():
@@ -38,20 +38,20 @@ def test_png_is_fully_valid():
 @pytest.mark.parametrize("w,h,d", [(1, 1, 1), (99, 77, 5), (65535, 65535, 8)])
 def test_gif_roundtrip(w, h, d):
     assert mm.parse_media_meta(mm.make_gif(w, h, d)) == (
-        "image/gif", w, h, d, None, None)
+        "image/gif", w, h, d, None, None, None)
 
 
 @pytest.mark.parametrize("w,h,p", [(1, 1, 8), (1024, 768, 8), (400, 300, 12)])
 def test_jpeg_roundtrip(w, h, p):
     assert mm.parse_media_meta(mm.make_jpeg(w, h, p)) == (
-        "image/jpeg", w, h, p, None, None)
+        "image/jpeg", w, h, p, None, None, None)
 
 
 @pytest.mark.parametrize("sr,ch,bits", [(8000, 1, 8), (44100, 2, 16),
                                         (48000, 2, 24)])
 def test_wav_roundtrip(sr, ch, bits):
     assert mm.parse_media_meta(mm.make_wav(sr, ch, bits)) == (
-        "audio/wav", None, None, bits, sr, ch)
+        "audio/wav", None, None, bits, sr, ch, None)
 
 
 def test_corrupt_headers_give_nulls_not_exceptions():
@@ -60,13 +60,13 @@ def test_corrupt_headers_give_nulls_not_exceptions():
     assert mm.parse_media_meta(b"\x00" * 40) == mm._NULL
     # right magic, truncated body: kind survives, dims null
     assert mm.parse_media_meta(b"\x89PNG\r\n\x1a\n\x00\x00") == (
-        "image/png", None, None, None, None, None)
+        "image/png", None, None, None, None, None, None)
     assert mm.parse_media_meta(b"GIF89a\x01") == (
-        "image/gif", None, None, None, None, None)
+        "image/gif", None, None, None, None, None, None)
     assert mm.parse_media_meta(b"\xff\xd8\xff\xff") == (
-        "image/jpeg", None, None, None, None, None)
+        "image/jpeg", None, None, None, None, None, None)
     assert mm.parse_media_meta(b"RIFF\x00\x00\x00\x00WAVEjunk") == (
-        "audio/wav", None, None, None, None, None)
+        "audio/wav", None, None, None, None, None, None)
 
 
 def test_jpeg_skips_leading_segments():
@@ -74,7 +74,7 @@ def test_jpeg_skips_leading_segments():
     com = b"\xff\xfe" + (5).to_bytes(2, "big") + b"abc"
     b = mm.make_jpeg(55, 44, 8)
     with_com = b[:2] + com + b[2:]
-    assert mm.parse_media_meta(with_com) == ("image/jpeg", 55, 44, 8, None, None)
+    assert mm.parse_media_meta(with_com) == ("image/jpeg", 55, 44, 8, None, None, None)
 
 
 @settings(max_examples=200, deadline=None)
@@ -91,17 +91,19 @@ def test_spark_wrapper_carries_and_is_deterministic(spark):
             (3, mm.make_jpeg(7, 8, 8)), (4, mm.make_wav(16000, 1, 16)),
             (5, None), (6, b"\x00garbage")]
     df = spark.createDataFrame(rows, "id long, payload binary")
-    out = {r.id: (r.kind, r.width, r.height, r.bit_depth, r.sample_rate,
-                  r.channels)
+    def tup(r):
+        return (r.kind, r.width, r.height, r.bit_depth, r.sample_rate,
+                r.channels, r.duration_ms)
+
+    out = {r.id: tup(r)
            for r in mm.with_media_meta(df, "payload", keep_cols=("id",)).collect()}
-    assert out[1] == ("image/png", 10, 20, 8, None, None)
-    assert out[2] == ("image/gif", 5, 6, 3, None, None)
-    assert out[3] == ("image/jpeg", 7, 8, 8, None, None)
-    assert out[4] == ("audio/wav", None, None, 16, 16000, 1)
-    assert out[5] == (None,) * 6
-    assert out[6] == (None,) * 6
-    out2 = {r.id: (r.kind, r.width, r.height, r.bit_depth, r.sample_rate,
-                   r.channels)
+    assert out[1] == ("image/png", 10, 20, 8, None, None, None)
+    assert out[2] == ("image/gif", 5, 6, 3, None, None, None)
+    assert out[3] == ("image/jpeg", 7, 8, 8, None, None, None)
+    assert out[4] == ("audio/wav", None, None, 16, 16000, 1, None)
+    assert out[5] == (None,) * 7
+    assert out[6] == (None,) * 7
+    out2 = {r.id: tup(r)
             for r in mm.with_media_meta(df, "payload", keep_cols=("id",)).collect()}
     assert out == out2
 
@@ -110,4 +112,44 @@ def test_jpeg_fill_bytes_before_markers():
     # markers may be padded with any number of 0xFF fill bytes
     b = mm.make_jpeg(640, 480)
     padded = b[:2] + b"\xff\xff\xff" + b[2:]
-    assert mm.parse_media_meta(padded) == ("image/jpeg", 640, 480, 8, None, None)
+    assert mm.parse_media_meta(padded) == ("image/jpeg", 640, 480, 8, None, None, None)
+
+
+@pytest.mark.parametrize("w,h,ms", [(1, 1, 1), (640, 360, 12345),
+                                    (1920, 1080, 2**31 - 1), (16, 9, 0)])
+def test_mp4_roundtrip(w, h, ms):
+    assert mm.parse_media_meta(mm.make_mp4(w, h, ms)) == (
+        "video/mp4", w, h, None, None, None, ms)
+
+
+def test_mp4_version1_and_largesize_boxes():
+    """Parser handles mvhd/tkhd version 1 (64-bit times) and the 64-bit
+    largesize box framing the generator never emits."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd1 = (b"\x01\x00\x00\x00" + b"\x00" * 16        # v1 + 64-bit times
+             + struct.pack(">I", 90000)                 # timescale
+             + struct.pack(">Q", 90000 * 7))            # duration (7 s)
+    tkhd1 = (b"\x01\x00\x00\x07" + b"\x00" * 84         # v1 layout: dims at 88
+             + struct.pack(">II", 320 << 16, 240 << 16))
+    moov = box(b"moov", box(b"mvhd", mvhd1) + box(b"trak", box(b"tkhd", tkhd1)))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00")
+    got = mm.parse_media_meta(ftyp + moov)
+    assert got == ("video/mp4", 320, 240, None, None, None, 7000)
+    # 64-bit largesize framing of moov: size field 1 + 8-byte size
+    large_moov = (struct.pack(">I", 1) + b"moov"
+                  + struct.pack(">Q", 16 + len(moov) - 8) + moov[8:])
+    assert mm.parse_media_meta(ftyp + large_moov) == got
+
+
+def test_mp4_totality_on_garbage():
+    assert mm.parse_media_meta(b"\x00\x00\x00\x0cftypisom") == (
+        "video/mp4", None, None, None, None, None, None)
+    # 8-byte input is below the 12-byte sniff minimum: unrecognized
+    assert mm.parse_media_meta(b"\x00\x00\x00\x08ftyp") == (None,) * 7
+    trunc = mm.make_mp4(64, 64, 5000)[:40]
+    got = mm.parse_media_meta(trunc)
+    assert got.kind == "video/mp4"  # never raises on truncation
