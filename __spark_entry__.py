@@ -1248,6 +1248,40 @@ def _q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "kind", "width", "height", "duration_ms")
 
 
+def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RFC 9309 robots.txt gate (operators/robots.py), hash-verified
+    with planted WILDCARD-FREE rules so the longest-match decision
+    collapses to prefix arithmetic: host r{h}.example (h = doc_id % 20)
+    publishes 'Disallow: /p{h}/' + 'Allow: /p{h}/ok/' (+ 'Disallow: /tmp/'
+    when h % 3 = 0); URL paths cycle allowed-by-longer-allow /
+    disallowed / tmp-depends-on-host / untouched by doc_id % 4. Wildcard
+    and agent-group semantics are pinned against RFC 9309's own examples
+    in tests/test_robots.py."""
+    from llmap_spark.operators.robots import filter_robots_disallowed
+
+    host = F.expr("concat('r', cast(doc_id % 20 as string), '.example')")
+    path = F.expr(
+        "CASE cast(doc_id % 4 as int) "
+        "WHEN 0 THEN concat('/p', cast(doc_id % 20 as string), '/ok/d', "
+        "  cast(doc_id as string)) "
+        "WHEN 1 THEN concat('/p', cast(doc_id % 20 as string), '/d', "
+        "  cast(doc_id as string)) "
+        "WHEN 2 THEN concat('/tmp/d', cast(doc_id as string)) "
+        "ELSE concat('/free/d', cast(doc_id as string)) END")
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path).alias("url"))
+    hosts = spark.range(20).select(
+        F.expr("concat('r', cast(id as string), '.example')").alias("host"),
+        F.expr(
+            "concat('User-Agent: *\n', "
+            "'Disallow: /p', cast(id as string), '/\n', "
+            "'Allow: /p', cast(id as string), '/ok/', "
+            "CASE WHEN id % 3 = 0 THEN '\nDisallow: /tmp/' ELSE '' END)"
+        ).alias("body"))
+    return filter_robots_disallowed(urls, hosts).select("doc_id", "url")
+
+
 def _q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing, driver-verified: payloads of planted size
     (pure doc_id arithmetic, built JVM-side) fan out 1->4 frame rows whose
@@ -1481,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "multimodal_media_meta": _q_multimodal_media_meta,
         "multimodal_video_meta": _q_multimodal_video_meta,
+        "robots_gate": _q_robots_gate,
         # --- extraction funnel (SURVEY §2 #1-#28 composed; r3-green) ---
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_status_counts": _q_extract_status_counts,
@@ -2047,6 +2082,22 @@ def oracle_sql() -> dict[str, str]:
                    THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
               CAST(NULL AS INTEGER) AS duration_ms
             FROM documents
+        """,
+        "robots_gate": """
+            -- prefix arithmetic replay of the planted rules: longest
+            -- match is the Allow for %4=0 (its prefix is strictly longer
+            -- than the Disallow), the Disallow for %4=1, the host-gated
+            -- /tmp/ Disallow for %4=2, and no rule for %4=3
+            SELECT doc_id,
+              'https://r' || CAST(doc_id % 20 AS varchar) || '.example'
+              || CASE CAST(doc_id % 4 AS int)
+                 WHEN 0 THEN '/p' || CAST(doc_id % 20 AS varchar)
+                   || '/ok/d' || CAST(doc_id AS varchar)
+                 WHEN 2 THEN '/tmp/d' || CAST(doc_id AS varchar)
+                 ELSE '/free/d' || CAST(doc_id AS varchar) END AS url
+            FROM documents
+            WHERE doc_id % 4 IN (0, 3)
+               OR (doc_id % 4 = 2 AND (doc_id % 20) % 3 <> 0)
         """,
         "multimodal_video_meta": """
             SELECT doc_id, 'video/mp4' AS kind,
