@@ -470,6 +470,17 @@ def _q_collate_binpack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bpe2_tokens", "group_id")
 
 
+def _q_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keyword extraction (textstats.top_terms): integer tf-idf
+    surrogate — (tf DESC, df ASC, term ASC) is the idf ordering without
+    the float log, so the oracle replays it exactly. ASCII-translate case
+    fold on both engines (lower() diverges cross-engine on e.g. U+0130,
+    the standing cdc rule)."""
+    from llmap_spark.operators.textstats import top_terms
+
+    return top_terms(_docs(spark, sf_dir), k=3)
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.textstats import lang_id
 
@@ -1516,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_meta": _q_multimodal_media_meta,
         "multimodal_video_meta": _q_multimodal_video_meta,
         "robots_gate": _q_robots_gate,
+        "keyword_topk": _q_keyword_topk,
         # --- extraction funnel (SURVEY §2 #1-#28 composed; r3-green) ---
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_status_counts": _q_extract_status_counts,
@@ -2098,6 +2110,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 4 IN (0, 3)
                OR (doc_id % 4 = 2 AND (doc_id % 20) % 3 <> 0)
+        """,
+        "keyword_topk": """
+            WITH terms AS (
+              SELECT doc_id, u.term
+              FROM (SELECT doc_id,
+                      string_split(trim(regexp_replace(
+                        translate(coalesce(text, ''),
+                          'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                          'abcdefghijklmnopqrstuvwxyz'),
+                        '\s+', ' ', 'g')), ' ') AS ws
+                    FROM documents) d,
+                   LATERAL unnest(d.ws) AS u(term)
+              WHERE u.term <> ''),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS int) AS tf
+              FROM terms GROUP BY doc_id, term),
+            dfreq AS (
+              SELECT term, CAST(count(*) AS int) AS df_count
+              FROM tf GROUP BY term),
+            ranked AS (
+              SELECT t.doc_id, t.term, t.tf, f.df_count,
+                CAST(row_number() OVER (PARTITION BY t.doc_id
+                  ORDER BY t.tf DESC, f.df_count ASC, t.term ASC)
+                  AS int) AS rank
+              FROM tf t JOIN dfreq f USING (term))
+            SELECT doc_id, term, tf, df_count, rank
+            FROM ranked WHERE rank <= 3
         """,
         "multimodal_video_meta": """
             SELECT doc_id, 'video/mp4' AS kind,

@@ -170,3 +170,41 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     in Spark and the SQL oracle; the basis for exact dedup."""
     norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.withColumn(out_col, F.md5(F.encode(norm, "UTF-8")))
+
+
+def top_terms(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", k: int = 5) -> DataFrame:
+    """Per-document keyword extraction by an INTEGER tf-idf surrogate:
+    rank each document's distinct terms by (term frequency DESC, document
+    frequency ASC, term ASC) and keep the top `k`. Ordering by ascending
+    df IS the idf ordering (idf is monotone-decreasing in df), restated
+    without the float logarithm so the driver oracle hashes exactly.
+
+    Returns (id_col, term, tf, df_count, rank). Case folding is the
+    ASCII translate table — NOT lower() — because Python/Java lower()
+    diverge from SQL engines' on some Unicode (the cdc/kernel rule).
+
+    Scale shape: tf is a (doc, term) groupBy (partial-aggregated —
+    stopword-heavy terms collapse map-side); df is a term groupBy over
+    the already-distinct (doc, term) rows, joined back on the term key
+    (vocabulary-sized frame, AQE-broadcastable for bounded vocabularies);
+    the final rank window partitions by doc and is bounded by a single
+    document's distinct-term count."""
+    from pyspark.sql import Window
+
+    folded = F.translate(
+        F.coalesce(F.col(text_col), F.lit("")),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+    words = F.split(F.trim(F.regexp_replace(folded, r"\s+", " ")), " ")
+    terms = (df.select(F.col(id_col), F.explode(words).alias("term"))
+             .filter(F.col("term") != ""))
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("int").alias("df_count"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df_count").asc(), F.col("term").asc())
+    return (tf.join(dfreq, "term")
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term", "tf", "df_count", "rank"))

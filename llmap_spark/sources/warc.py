@@ -324,6 +324,22 @@ _WARC_ROWS_SCHEMA = ("url string, warc_date string, html binary, "
                      "warc_path string")
 
 
+def _parse_warc_batches(batches):
+    """mapInPandas body shared by the batch and streaming readers: rows of
+    (path, content) -> parsed response records."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {"url": [], "warc_date": [], "html": [], "warc_path": []}
+        for p, content in zip(pdf["path"], pdf["content"]):
+            for url, date, payload in parse_warc(content):
+                rows["url"].append(url)
+                rows["warc_date"].append(date)
+                rows["html"].append(payload)
+                rows["warc_path"].append(p)
+        yield pd.DataFrame(rows)
+
+
 def _finish_warc_df(parsed):
     return parsed.select(
         "url", _warc_ts("warc_date").alias("warc_ts"),
@@ -361,16 +377,7 @@ def read_warc(spark, path: str, split_threshold: int | None = None,
 
     import pandas as pd
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"url": [], "warc_date": [], "html": [], "warc_path": []}
-            for p, content in zip(pdf["path"], pdf["content"]):
-                for url, date, payload in parse_warc(content):
-                    rows["url"].append(url)
-                    rows["warc_date"].append(date)
-                    rows["html"].append(payload)
-                    rows["warc_path"].append(p)
-            yield pd.DataFrame(rows)
+    parse = _parse_warc_batches
 
     if split_threshold is None:
         files = spark.read.format("binaryFile").load(path)
@@ -441,3 +448,25 @@ def read_warc(spark, path: str, split_threshold: int | None = None,
     for p in parts[1:]:
         out = out.unionByName(p)
     return _finish_warc_df(out)
+
+
+def read_warc_stream(spark, path: str):
+    """STREAMING WARC ingest: archives dropped into `path` after the query
+    starts are picked up incrementally (binaryFile file-stream source —
+    each file processed exactly once, tracked by the sink checkpoint)
+    through the SAME parse_warc kernel as the batch reader, so stream and
+    batch rows are byte-identical per archive. The
+    crawl-arrives-continuously shape: compose with
+    plans.pipeline.extract (a stateless per-row map lifts to readStream
+    unchanged) and a parquet sink + checkpointLocation for exactly-once
+    end-to-end. One task per archive, as in batch; the split_threshold
+    skew guard is batch-only (a streaming ranged read would need its own
+    source)."""
+    # file-stream sources require an explicit schema; binaryFile's is fixed
+    files = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .option("pathGlobFilter", "*.warc.gz").load(path))
+    parsed = files.select("path", "content").mapInPandas(
+        _parse_warc_batches, _WARC_ROWS_SCHEMA)
+    return _finish_warc_df(parsed)

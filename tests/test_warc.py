@@ -139,6 +139,40 @@ def test_split_read_matches_whole_read(spark, tmp_path):
         assert blob[:2] == b"\x1f\x8b"
 
 
+def test_warc_stream_incremental_pickup(spark, tmp_path):
+    """Streaming WARC ingest: archives dropped AFTER the query starts are
+    parsed incrementally through the same kernel, with rows identical to
+    the batch reader's."""
+    src = tmp_path / "drop"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def shard(k, n):
+        recs = [(f"https://s{k}.example/doc{i}", "2025-01-01T00:00:00Z",
+                 f"<html><body><p>rec {k}-{i}</p></body></html>".encode())
+                for i in range(n)]
+        (src / f"seg-{k:05d}.warc.gz").write_bytes(warc.make_warc(recs))
+
+    shard(0, 5)
+    q = (warc.read_warc_stream(spark, str(src))
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .queryName("warc_stream_test").start())
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(out).count() == 5
+        shard(1, 7)  # arrives mid-stream
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.url: bytes(r.html)
+           for r in spark.read.parquet(out).collect()}
+    want = {r.url: bytes(r.html)
+            for r in warc.read_warc(spark, str(src)).collect()}
+    assert got == want and len(got) == 12
+
+
 def test_wet_sink_roundtrips_extraction(spark, tmp_path):
     """extract -> write_wet (per-partition executor-side archives) ->
     parse_warc(conversion) reads the extracted text back byte-identical
