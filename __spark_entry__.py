@@ -2119,7 +2119,7 @@ def oracle_sql() -> dict[str, str]:
                         translate(coalesce(text, ''),
                           'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
                           'abcdefghijklmnopqrstuvwxyz'),
-                        '\s+', ' ', 'g')), ' ') AS ws
+                        '\\s+', ' ', 'g')), ' ') AS ws
                     FROM documents) d,
                    LATERAL unnest(d.ws) AS u(term)
               WHERE u.term <> ''),
