@@ -470,6 +470,28 @@ def _q_collate_binpack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bpe2_tokens", "group_id")
 
 
+def _q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sitemap URL-discovery source (sources/sitemap.py),
+    hash-verified: each doc renders a sitemaps.org urlset with
+    1 + doc_id%3 planted <loc>/<lastmod> entries (pure arithmetic, built
+    JVM-side as binary), the tolerant scan parses them back, and the
+    oracle regenerates the entries with generate_series. Index/gzip/
+    entity/cap behavior is pinned in tests/test_sitemap.py."""
+    from llmap_spark.sources.sitemap import read_sitemaps
+
+    body = F.expr(
+        "cast(concat('<?xml version=\"1.0\"?><urlset>', "
+        "array_join(transform(sequence(1, 1 + cast(doc_id % 3 as int)), "
+        "j -> concat('<url><loc>https://s', cast(doc_id % 20 as string), "
+        "'.example/d', cast(doc_id as string), '/u', cast(j as string), "
+        "'</loc><lastmod>2025-01-', "
+        "lpad(cast(1 + doc_id % 28 as string), 2, '0'), "
+        "'</lastmod></url>')), ''), '</urlset>') as binary)")
+    docs = _docs(spark, sf_dir).select("doc_id", body.alias("body"))
+    return read_sitemaps(docs, keep_cols=("doc_id",)).select(
+        "doc_id", "loc", "lastmod", "kind")
+
+
 def _q_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc keyword extraction (textstats.top_terms): integer tf-idf
     surrogate — (tf DESC, df ASC, term ASC) is the idf ordering without
@@ -1528,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_meta": _q_multimodal_video_meta,
         "robots_gate": _q_robots_gate,
         "keyword_topk": _q_keyword_topk,
+        "sitemap_discovery": _q_sitemap_discovery,
         # --- extraction funnel (SURVEY §2 #1-#28 composed; r3-green) ---
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_status_counts": _q_extract_status_counts,
@@ -2110,6 +2133,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 4 IN (0, 3)
                OR (doc_id % 4 = 2 AND (doc_id % 20) % 3 <> 0)
+        """,
+        "sitemap_discovery": """
+            SELECT d.doc_id,
+              'https://s' || CAST(d.doc_id % 20 AS varchar) || '.example/d'
+                || CAST(d.doc_id AS varchar) || '/u' || CAST(j.j AS varchar)
+                AS loc,
+              '2025-01-' || lpad(CAST(1 + d.doc_id % 28 AS varchar), 2, '0')
+                AS lastmod,
+              'url' AS kind
+            FROM documents d,
+                 LATERAL unnest(generate_series(
+                   1, CAST(1 + d.doc_id % 3 AS int))) AS j(j)
         """,
         "keyword_topk": """
             WITH terms AS (
