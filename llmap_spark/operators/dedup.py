@@ -276,7 +276,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
             "transform(ids, (x, i) -> transform("
             "  slice(ids, i + 2, size(ids) - i - 1),"
             "  y -> struct(x AS id_a, y AS id_b)))"
-        ))).alias("p")).select("p.id_a", "p.id_b").distinct())
+        ))).alias("p")).select("p.id_a", "p.id_b")
+            # strict <, matching the self-join branch: a duplicated id in
+            # the input must not emit a self-pair (sort_array makes equal
+            # ids adjacent, so the in-array expansion WOULD pair them)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct())
     else:
         # big caps: the in-array expansion would be quadratic in the cap;
         # fall back to the equi-self-join (AQE can skew-split it)

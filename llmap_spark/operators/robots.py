@@ -6,8 +6,9 @@ fetched decide which URLs may be processed. Same kernel discipline as the
 other parsers (total, deterministic, stdlib-only, shared by pytest and
 the Spark operator):
 
-  parse_robots(body, agent)  robots.txt text -> ranked rule list for the
-                             most specific matching user-agent group
+  parse_robots(body, agent)  robots.txt text -> combined rule list of ALL
+                             user-agent groups at the winning specificity
+                             (RFC 9309 group merge)
   is_allowed(rules, path)    RFC 9309 longest-match decision (allow wins
                              length ties; no matching rule -> allowed)
   filter_robots_disallowed   Spark operator: urls x (host, robots body)
@@ -18,9 +19,9 @@ array (one row per host — orders of magnitude smaller than the URL
 corpus), then equi-joined to the URLs on the host key (AQE broadcasts
 the rules frame when it is small; at full scale both sides shuffle on
 host, the same key the link-graph family already uses). The per-URL
-longest-match runs in an Arrow-batched pandas UDF with a compiled-regex
-memo per host — rules with '*'/'$' wildcards need real pattern matching,
-which no JVM expression expresses without regex translation anyway.
+longest-match runs in an Arrow-batched pandas UDF with a per-batch memo
+— '*'/'$' wildcard patterns need real matching, done by an iterative
+non-backtracking walk (hostile patterns cannot wedge an executor).
 
 Correctness: RFC 9309 semantics are pinned in pytest against the RFC's
 own examples (longest match wins, allow wins ties, most-specific agent
@@ -30,8 +31,6 @@ arithmetic a SQL oracle can replay.
 """
 
 from __future__ import annotations
-
-import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -47,8 +46,10 @@ def parse_robots(body: str | None, agent: str = "*") -> list[tuple[int, str]]:
     Total: None/garbage yields [] (no rules = everything allowed).
 
     Group semantics per RFC 9309: consecutive user-agent lines share the
-    rule block that follows; rules before any user-agent line are ignored.
-    Only the selected group's rules are returned.
+    rule block that follows (lines the parser does not recognize are
+    ignored and do not split the run); rules before any user-agent line
+    are ignored; ALL groups at the winning agent specificity are combined
+    (repeated 'User-agent: *' blocks act as one logical group).
     """
     if not body:
         return []
@@ -78,41 +79,70 @@ def parse_robots(body: str | None, agent: str = "*") -> list[tuple[int, str]]:
                 # empty Disallow means "allow everything" — no rule
                 if val:
                     cur_rules.append((1 if key == "allow" else 0, val))
-        else:
-            in_agent_run = False  # sitemap/crawl-delay end an agent run
+        # any other line (sitemap, crawl-delay, unknown) is IGNORED per
+        # RFC 9309 §2.2.3 — it neither ends an agent run nor separates
+        # groups ('User-agent: a / Crawl-delay: 1 / User-agent: b' is ONE
+        # shared group)
     if cur_agents:
         groups.append((cur_agents, cur_rules))
-    best: tuple[int, list[tuple[int, str]]] | None = None
-    for agents, rules in groups:
+    # most specific agent match wins; ALL groups at the winning
+    # specificity are COMBINED (RFC 9309 §2.2.1 — repeated
+    # 'User-agent: *' blocks are one logical group)
+    best_score = -1
+    for agents, _ in groups:
         for a in agents:
             if a == "*":
-                score = 0
+                best_score = max(best_score, 0)
             elif a and a in agent_l:
-                score = len(a)
-            else:
-                continue
-            if best is None or score > best[0]:
-                best = (score, rules)
-    return best[1] if best else []
+                best_score = max(best_score, len(a))
+    if best_score < 0:
+        return []
+    merged: list[tuple[int, str]] = []
+    for agents, rules in groups:
+        score = max((0 if a == "*" else len(a)) for a in agents
+                    if a == "*" or (a and a in agent_l)) \
+            if any(a == "*" or (a and a in agent_l) for a in agents) else -1
+        if score == best_score:
+            merged.extend(rules)
+    return merged[:MAX_RULES_PER_HOST]
 
 
-def _pattern_re(pattern: str) -> re.Pattern:
-    """Rule pattern -> anchored regex: '*' matches any run, trailing '$'
-    anchors the end; everything else is literal."""
+def _match_pattern(pattern: str, path: str) -> bool:
+    """Anchored-at-start wildcard match: '*' matches any run, a trailing
+    '$' anchors the end, everything else is literal. ITERATIVE two-pointer
+    walk, O(len(path) * segments) worst case with NO backtracking —
+    robots.txt is arbitrary third-party input, and the regex translation
+    this replaces ('*' -> '.*') let one hostile 'Disallow: /*a*a*a...$'
+    pattern wedge an executor in exponential backtracking."""
     anchored = pattern.endswith("$")
     core = pattern[:-1] if anchored else pattern
-    rx = "".join(".*" if c == "*" else re.escape(c) for c in core)
-    return re.compile("^" + rx + ("$" if anchored else ""))
+    parts = core.split("*")
+    if not path.startswith(parts[0]):
+        return False
+    if len(parts) == 1:
+        return path == core if anchored else True
+    pos = len(parts[0])
+    for part in parts[1:-1]:
+        idx = path.find(part, pos)
+        if idx < 0:
+            return False
+        pos = idx + len(part)
+    last = parts[-1]
+    if anchored:
+        return path.endswith(last) and len(path) - len(last) >= pos
+    return path.find(last, pos) >= 0
 
 
-def is_allowed(rules: list[tuple[int, str]], path: str) -> bool:
+def _decide(rules: list[tuple[int, str]], path: str) -> bool:
     """RFC 9309 decision: the matching rule with the LONGEST pattern wins;
-    on equal length, allow wins; no match -> allowed. Empty path means '/'."""
+    on equal length, allow wins; no match -> allowed. Empty path means
+    '/'. THE single decision implementation — the Spark UDF calls this
+    same function (a second inline copy is how twins drift)."""
     path = path or "/"
     best_len = -1
     best_allow = True
     for allow, pattern in rules:
-        if _pattern_re(pattern).match(path):
+        if _match_pattern(pattern, path):
             ln = len(pattern)
             if ln > best_len or (ln == best_len and allow and not best_allow):
                 best_len = ln
@@ -120,11 +150,26 @@ def is_allowed(rules: list[tuple[int, str]], path: str) -> bool:
     return best_allow
 
 
+def is_allowed(rules: list[tuple[int, str]], path: str) -> bool:
+    """Public alias of the single decision implementation."""
+    return _decide(rules, path)
+
+
+def _norm_host(col):
+    """Symmetric authority normalization for the rules join: lowercase,
+    strip userinfo, strip the default :80/:443 ports. Applied to BOTH
+    sides — asymmetric normalization fails OPEN (no rules matched ->
+    everything allowed)."""
+    h = F.lower(col)
+    h = F.regexp_replace(h, r"^[^@]*@", "")
+    return F.regexp_replace(h, r":(80|443)$", "")
+
+
 def robots_rules(robots_df: DataFrame, agent: str = "*",
                  host_col: str = "host", body_col: str = "body") -> DataFrame:
     """(host, robots.txt body) -> (host, rules array<struct<allow,pattern>>):
     parse once per host, driver-free. The output is one compact row per
-    host — the frame the URL join consumes."""
+    host (normalized authority key) — the frame the URL join consumes."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<struct<allow: int, pattern: string>>")
@@ -132,7 +177,7 @@ def robots_rules(robots_df: DataFrame, agent: str = "*",
         return pd.Series([parse_robots(b, agent) for b in bodies])
 
     return robots_df.select(
-        F.col(host_col).alias("host"),
+        _norm_host(F.col(host_col)).alias("host"),
         parse(F.col(body_col)).alias("rules"))
 
 
@@ -143,44 +188,45 @@ def filter_robots_disallowed(urls_df: DataFrame, robots_df: DataFrame,
     """Keep only URLs their host's robots.txt allows for `agent`.
 
     A host with no robots row allows everything (the crawl convention for
-    404 robots). Join is an equi-join on the host key; the decision UDF
-    compiles each host's patterns once per batch (regex memo keyed by the
-    rules tuple) and is Arrow-batched."""
+    404 robots). Join is an equi-join on the normalized authority key
+    (case-insensitive scheme/host, userinfo and default ports stripped on
+    BOTH sides — see _norm_host); the decision UDF is Arrow-batched, memo
+    keyed by the rules tuple, and calls the SAME _decide as
+    is_allowed/pytest. Internal join columns use __robots_-prefixed names
+    and the rules-side host is dropped BY REFERENCE so caller columns
+    named host/rules survive untouched."""
     from urllib.parse import urlparse
 
     from pyspark.sql.functions import pandas_udf
 
-    rules = robots_rules(robots_df, agent, host_col, body_col)
-    host_of = F.lower(F.regexp_extract(F.col(url_col),
-                                       r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
-    with_host = urls_df.withColumn("_host", host_of)
-    joined = with_host.join(rules, with_host["_host"] == rules["host"],
-                            "left").drop("host")
+    rules = robots_rules(robots_df, agent, host_col, body_col) \
+        .withColumnRenamed("rules", "__robots_rules")
+    # scheme match is case-insensitive ('HTTPS://' is a valid URL)
+    host_of = _norm_host(F.regexp_extract(
+        F.col(url_col), r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    with_host = urls_df.withColumn("__robots_host", host_of)
+    joined = with_host.join(
+        rules, with_host["__robots_host"] == rules["host"], "left") \
+        .drop(rules["host"])
 
     @pandas_udf("boolean")
     def allowed(urls: pd.Series, rules_col: pd.Series) -> pd.Series:
-        memo: dict[tuple, list] = {}
+        memo: dict[tuple, bool] = {}
         out = []
         for u, rl in zip(urls, rules_col):
             if rl is None or len(rl) == 0:
                 out.append(True)
                 continue
-            key = tuple((r["allow"], r["pattern"]) for r in rl)
-            compiled = memo.get(key)
-            if compiled is None:
-                compiled = [(a, p, _pattern_re(p)) for a, p in key]
-                memo[key] = compiled
+            rules_t = tuple((r["allow"], r["pattern"]) for r in rl)
             p = urlparse(u or "")
             path = (p.path or "/") + (("?" + p.query) if p.query else "")
-            best_len, best_allow = -1, True
-            for a, pat, rx in compiled:
-                if rx.match(path):
-                    ln = len(pat)
-                    if ln > best_len or (ln == best_len and a
-                                         and not best_allow):
-                        best_len, best_allow = ln, bool(a)
-            out.append(best_allow)
+            key = (rules_t, path)
+            v = memo.get(key)
+            if v is None:
+                v = _decide(list(rules_t), path)
+                memo[key] = v
+            out.append(v)
         return pd.Series(out)
 
-    return (joined.filter(allowed(F.col(url_col), F.col("rules")))
-            .drop("_host", "rules"))
+    return (joined.filter(allowed(F.col(url_col), F.col("__robots_rules")))
+            .drop("__robots_host", "__robots_rules"))

@@ -40,12 +40,15 @@ _LOC_RE = re.compile(
 _FIELD_RE = re.compile(
     rb"<(loc|lastmod)\b[^>]*>\s*(.*?)\s*</\1>", re.DOTALL | re.IGNORECASE)
 
-_ENTITIES = {b"&amp;": b"&", b"&lt;": b"<", b"&gt;": b">",
-             b"&quot;": b'"', b"&apos;": b"'"}
+# &amp; decodes LAST: running it first turns '&amp;lt;' (XML for the
+# literal text '&lt;') into '&lt;', which the later &lt; pass would then
+# wrongly decode to '<' — a double decode that corrupts discovered URLs
+_ENTITIES = [(b"&lt;", b"<"), (b"&gt;", b">"),
+             (b"&quot;", b'"'), (b"&apos;", b"'"), (b"&amp;", b"&")]
 
 
 def _unescape(b: bytes) -> bytes:
-    for k, v in _ENTITIES.items():
+    for k, v in _ENTITIES:
         if k in b:
             b = b.replace(k, v)
     return b

@@ -450,7 +450,7 @@ def read_warc(spark, path: str, split_threshold: int | None = None,
     return _finish_warc_df(out)
 
 
-def read_warc_stream(spark, path: str):
+def read_warc_stream(spark, path: str, glob: str | None = None):
     """STREAMING WARC ingest: archives dropped into `path` after the query
     starts are picked up incrementally (binaryFile file-stream source —
     each file processed exactly once, tracked by the sink checkpoint)
@@ -461,12 +461,21 @@ def read_warc_stream(spark, path: str):
     unchanged) and a parquet sink + checkpointLocation for exactly-once
     end-to-end. One task per archive, as in batch; the split_threshold
     skew guard is batch-only (a streaming ranged read would need its own
-    source)."""
+    source).
+
+    `glob` defaults to None = ingest EVERY file, matching the batch
+    reader exactly (parse_warc is total: a non-WARC file yields zero
+    rows, not an error). Pass e.g. '*.warc.gz' to skip in-progress
+    uploads — but note the file-stream source processes each PATH once,
+    so a file later rewritten in place is NOT re-read; writers must
+    follow the write-to-tmp-then-rename convention either way."""
     # file-stream sources require an explicit schema; binaryFile's is fixed
-    files = (spark.readStream.format("binaryFile")
-             .schema("path string, modificationTime timestamp, "
-                     "length long, content binary")
-             .option("pathGlobFilter", "*.warc.gz").load(path))
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary"))
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path)
     parsed = files.select("path", "content").mapInPandas(
         _parse_warc_batches, _WARC_ROWS_SCHEMA)
     return _finish_warc_df(parsed)

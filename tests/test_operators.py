@@ -1039,3 +1039,16 @@ def test_sniff_riff_dispatches_on_fourcc(spark):
            df.select("id", sniff_media_type(F.col("payload")).alias("mt")).collect()}
     assert got == {1: "audio/wav", 2: "image/webp", 3: "video/avi",
                    4: "application/octet-stream"}
+
+
+def test_minhash_duplicate_ids_no_self_pairs(spark):
+    """A duplicated doc_id in the input must not emit (x, x) self-pairs
+    from the in-array pair expansion (the self-join branch's strict <
+    filter applies to the grouped branch too)."""
+    from llmap_spark.operators.dedup import minhash_lsh_candidates
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(1, base), (1, base), (2, base + " tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(df, materialize=True).collect()
+    assert all(r.id_a < r.id_b for r in pairs)

@@ -101,3 +101,67 @@ def test_spark_gate_matches_python(spark):
     assert "https://h0.example/priv/x" not in got
     assert "https://h2.example/anything" not in got  # mybot fully banned
     assert "https://h5.example/anything" in got      # no robots -> allowed
+
+
+def test_repeated_star_groups_are_combined():
+    """RFC 9309 group merge: ALL groups at the winning specificity apply —
+    a later 'User-agent: *' block must not be silently dropped."""
+    body = ("User-agent: *\nDisallow: /a/\n\n"
+            "User-agent: other\nDisallow: /o/\n\n"
+            "User-agent: *\nDisallow: /c/\n")
+    assert not _decide(body, "bot", "/a/x")
+    assert not _decide(body, "bot", "/c/x")   # from the SECOND * group
+    assert _decide(body, "bot", "/o/x")       # other agent's rule ignored
+
+
+def test_unknown_lines_do_not_split_agent_runs():
+    """Crawl-delay/sitemap/unknown lines are ignored entirely: agents on
+    both sides of one still share the rule block that follows."""
+    body = ("User-agent: a\nCrawl-delay: 10\nUser-agent: b\n"
+            "Disallow: /x/\nSitemap: https://e.example/s.xml\n")
+    assert not _decide(body, "a", "/x/1")
+    assert not _decide(body, "b", "/x/1")
+
+
+def test_hostile_wildcard_pattern_terminates_fast():
+    """The matcher is non-backtracking: a pathological '*a*a*a...$'
+    pattern must decide in linear-ish time, not hang the executor."""
+    import time
+
+    body = "User-agent: *\nDisallow: /" + "*a" * 12 + "$\n"
+    t = time.time()
+    _decide(body, "bot", "/" + "a" * 40 + "b")
+    _decide(body, "bot", "/" + "a" * 24)  # this one matches
+    assert time.time() - t < 1.0
+    assert not _decide(body, "bot", "/" + "a" * 24)
+
+
+def test_host_normalization_is_symmetric(spark):
+    """Uppercase scheme, userinfo, default ports, and a mixed-case robots
+    host key must all still hit the rules — asymmetric normalization
+    fails OPEN (disallowed URLs pass)."""
+    robots_df = spark.createDataFrame(
+        [("R5.Example", "User-Agent: *\nDisallow: /priv/")],
+        "host string, body string")
+    urls = spark.createDataFrame(
+        [("HTTPS://r5.example/priv/x",),
+         ("https://user:pw@r5.example/priv/y",),
+         ("https://r5.example:443/priv/z",),
+         ("https://r5.example/open",)], "url string")
+    got = {r.url for r in filter_robots_disallowed(urls, robots_df).collect()}
+    assert got == {"https://r5.example/open"}
+
+
+def test_caller_host_and_rules_columns_survive(spark):
+    robots_df = spark.createDataFrame(
+        [("h.example", "User-Agent: *\nDisallow: /no/")],
+        "host string, body string")
+    urls = spark.createDataFrame(
+        [("https://h.example/ok", "h.example", "keep-me"),
+         ("https://h.example/no/x", "h.example", "keep-me")],
+        "url string, host string, rules string")
+    out = filter_robots_disallowed(urls, robots_df)
+    assert set(out.columns) == {"url", "host", "rules"}
+    rows = out.collect()
+    assert [(r.url, r.host, r.rules) for r in rows] == [
+        ("https://h.example/ok", "h.example", "keep-me")]

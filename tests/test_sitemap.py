@@ -78,3 +78,12 @@ def test_spark_fanout_with_carry(spark):
         ("h0", "https://h0.example/b", None, "url"),
         ("h1", "https://h1.example/s.xml", None, "sitemap"),
     ]
+
+
+def test_nested_entity_not_double_decoded():
+    """'&amp;lt;' is XML for the literal text '&lt;' — decoding &amp;
+    first would wrongly produce '<'."""
+    body = (b"<urlset><url><loc>https://a.example/p?q=a&amp;lt;b</loc>"
+            b"</url></urlset>")
+    _, entries = parse_sitemap(body)
+    assert entries == [("https://a.example/p?q=a&lt;b", None)]
