@@ -492,6 +492,59 @@ def _q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "loc", "lastmod", "kind")
 
 
+def _q_frontier_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed CRAWL-FRONTIER chain, hash-verified end-to-end — the
+    ingest-side flagship analogue of pipeline_curated_planted: sitemap
+    URL discovery -> RFC 9309 robots gate -> URL canonicalization ->
+    frontier dedup, all four real operators chained on one planted
+    construction. Doc d publishes 1 + d%3 sitemap entries; entry j's raw
+    loc varies scheme/host case and default port (j odd ->
+    'HTTPS://R<h>.EXAMPLE:443') and carries a fragment when j%3=0 — the
+    canonicalizer must normalize all three; its path family f = (d+j)%4
+    walks the same robots rules as robots_gate (h = d%20), so the kept
+    set is pure arithmetic: f in (0,3) or (f=2 and h%3<>0)."""
+    from llmap_spark.operators.links import canonical_url
+    from llmap_spark.operators.robots import filter_robots_disallowed
+    from llmap_spark.sources.sitemap import read_sitemaps
+
+    path = (
+        "CASE cast((doc_id + j) % 4 as int) "
+        "WHEN 0 THEN concat('/p', cast(doc_id % 20 as string), '/ok/d', "
+        "  cast(doc_id as string), 'j', cast(j as string)) "
+        "WHEN 1 THEN concat('/p', cast(doc_id % 20 as string), '/d', "
+        "  cast(doc_id as string), 'j', cast(j as string)) "
+        "WHEN 2 THEN concat('/tmp/d', cast(doc_id as string), 'j', "
+        "  cast(j as string)) "
+        "ELSE concat('/free/d', cast(doc_id as string), 'j', "
+        "  cast(j as string)) END")
+    schost = (
+        "CASE WHEN j % 2 = 1 "
+        "THEN concat('HTTPS://R', cast(doc_id % 20 as string), "
+        "  '.EXAMPLE:443') "
+        "ELSE concat('https://r', cast(doc_id % 20 as string), "
+        "  '.example') END")
+    frag = "CASE WHEN j % 3 = 0 THEN '#frag' ELSE '' END"
+    body = F.expr(
+        "cast(concat('<urlset>', "
+        "array_join(transform(sequence(1, 1 + cast(doc_id % 3 as int)), "
+        f"j -> concat('<url><loc>', {schost}, {path}, {frag}, "
+        "'</loc></url>')), ''), '</urlset>') as binary)")
+    docs = _docs(spark, sf_dir).select("doc_id", body.alias("body"))
+    discovered = read_sitemaps(docs, keep_cols=("doc_id",))
+    hosts = spark.range(20).select(
+        F.expr("concat('r', cast(id as string), '.example')").alias("host"),
+        F.expr(
+            "concat('User-Agent: *\n', "
+            "'Disallow: /p', cast(id as string), '/\n', "
+            "'Allow: /p', cast(id as string), '/ok/', "
+            "CASE WHEN id % 3 = 0 THEN '\nDisallow: /tmp/' ELSE '' END)"
+        ).alias("body"))
+    gated = filter_robots_disallowed(discovered, hosts, url_col="loc")
+    return (gated.select("doc_id",
+                         canonical_url(F.col("loc")).alias("url"))
+            .distinct())
+
+
 def _q_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc keyword extraction (textstats.top_terms): integer tf-idf
     surrogate — (tf DESC, df ASC, term ASC) is the idf ordering without
@@ -1551,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": _q_robots_gate,
         "keyword_topk": _q_keyword_topk,
         "sitemap_discovery": _q_sitemap_discovery,
+        "frontier_planted": _q_frontier_planted,
         # --- extraction funnel (SURVEY §2 #1-#28 composed; r3-green) ---
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_status_counts": _q_extract_status_counts,
@@ -2133,6 +2187,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 4 IN (0, 3)
                OR (doc_id % 4 = 2 AND (doc_id % 20) % 3 <> 0)
+        """,
+        "frontier_planted": """
+            -- kept set = robots arithmetic; url = the canonical form
+            -- (lowercase https host, no port, no fragment)
+            SELECT d.doc_id,
+              'https://r' || CAST(d.doc_id % 20 AS varchar) || '.example'
+              || CASE CAST((d.doc_id + j.j) % 4 AS int)
+                 WHEN 0 THEN '/p' || CAST(d.doc_id % 20 AS varchar)
+                   || '/ok/d' || CAST(d.doc_id AS varchar)
+                   || 'j' || CAST(j.j AS varchar)
+                 WHEN 2 THEN '/tmp/d' || CAST(d.doc_id AS varchar)
+                   || 'j' || CAST(j.j AS varchar)
+                 ELSE '/free/d' || CAST(d.doc_id AS varchar)
+                   || 'j' || CAST(j.j AS varchar) END AS url
+            FROM documents d,
+                 LATERAL unnest(generate_series(
+                   1, CAST(1 + d.doc_id % 3 AS int))) AS j(j)
+            WHERE (d.doc_id + j.j) % 4 IN (0, 3)
+               OR ((d.doc_id + j.j) % 4 = 2
+                   AND (d.doc_id % 20) % 3 <> 0)
         """,
         "sitemap_discovery": """
             SELECT d.doc_id,
