@@ -165,3 +165,36 @@ def test_caller_host_and_rules_columns_survive(spark):
     rows = out.collect()
     assert [(r.url, r.host, r.rules) for r in rows] == [
         ("https://h.example/ok", "h.example", "keep-me")]
+
+
+def test_kernel_totality_fuzz():
+    """Never-raise rule on arbitrary input, like every other kernel."""
+    from hypothesis import given, settings, strategies as st
+
+    from llmap_spark.operators.robots import _match_pattern
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=200), st.text(max_size=50))
+    def check_parse(body, agent):
+        rules = parse_robots(body, agent or "*")
+        assert isinstance(rules, list)
+        is_allowed(rules, "/some/path")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="ab*$/", max_size=30),
+           st.text(alphabet="ab/", max_size=60))
+    def check_match(pattern, path):
+        r = _match_pattern(pattern, path)
+        assert isinstance(r, bool)
+        # cross-check against a bounded-backtracking regex spec on small
+        # inputs (patterns here are tiny, so re is safe)
+        import re as _re
+
+        anchored = pattern.endswith("$")
+        core = pattern[:-1] if anchored else pattern
+        rx = "".join(".*" if c == "*" else _re.escape(c) for c in core)
+        spec = _re.compile("^" + rx + ("$" if anchored else "")).match(path)
+        assert r == bool(spec), (pattern, path)
+
+    check_parse()
+    check_match()

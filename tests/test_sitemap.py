@@ -87,3 +87,16 @@ def test_nested_entity_not_double_decoded():
             b"</url></urlset>")
     _, entries = parse_sitemap(body)
     assert entries == [("https://a.example/p?q=a&lt;b", None)]
+
+
+def test_kernel_totality_fuzz():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def check(b):
+        kind, entries = parse_sitemap(b)
+        assert kind in ("urlset", "index")
+        assert all(isinstance(u, str) for u, _ in entries)
+
+    check()
