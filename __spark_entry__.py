@@ -545,6 +545,22 @@ def _q_frontier_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def _q_lm_score_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style char-trigram LM quality scorer (operators/lm.py),
+    hash-verified: the model table is planted ({'aba': 1500, 'bab': 2500}
+    milli-bits, OOV 9000) and doc text is 'ab'*k + 'z' (k = 2 + doc_id%9),
+    whose trigram decomposition is exactly (k-1) x 'aba' + (k-1) x 'bab'
+    + 1 OOV 'abz' — so totals and the integer average are pure arithmetic.
+    Real training (driver-side bounded sample, quantized once) is pinned
+    in tests/test_lm.py."""
+    from llmap_spark.operators.lm import lm_score
+
+    text = F.expr("concat(repeat('ab', cast(2 + doc_id % 9 as int)), 'z')")
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return lm_score(docs, {"aba": 1500, "bab": 2500}, 9000).select(
+        "doc_id", "n_grams", "millibits_total", "avg_millibits")
+
+
 def _q_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc keyword extraction (textstats.top_terms): integer tf-idf
     surrogate — (tf DESC, df ASC, term ASC) is the idf ordering without
@@ -1605,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_topk": _q_keyword_topk,
         "sitemap_discovery": _q_sitemap_discovery,
         "frontier_planted": _q_frontier_planted,
+        "lm_score_planted": _q_lm_score_planted,
         # --- extraction funnel (SURVEY §2 #1-#28 composed; r3-green) ---
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_status_counts": _q_extract_status_counts,
@@ -2187,6 +2204,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 4 IN (0, 3)
                OR (doc_id % 4 = 2 AND (doc_id % 20) % 3 <> 0)
+        """,
+        "lm_score_planted": """
+            SELECT doc_id,
+              CAST(2 * (2 + doc_id % 9) - 1 AS int) AS n_grams,
+              CAST(4000 * (1 + doc_id % 9) + 9000 AS bigint)
+                AS millibits_total,
+              CAST((4000 * (1 + doc_id % 9) + 9000)
+                   // (2 * (2 + doc_id % 9) - 1) AS int) AS avg_millibits
+            FROM documents
         """,
         "frontier_planted": """
             -- kept set = robots arithmetic; url = the canonical form
