@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="use the two-UDF funnel plan instead of the fused pass")
     ap.add_argument("--cores", type=int, default=None,
                     help="local mode cores (ignored under a real master)")
+    ap.add_argument("--compact", nargs="?", const=0, default=None, type=int,
+                    metavar="N_FILES",
+                    help="after committing, rewrite all live snapshots into "
+                         "one (optionally repartitioned to N_FILES) — the "
+                         "store-maintenance pass for long incremental runs")
     args = ap.parse_args(argv)
 
     from pyspark import SparkConf
@@ -84,6 +89,14 @@ def main(argv: list[str] | None = None) -> int:
          "new_rows": snap.n_rows, "data_path": snap.data_path,
          "lineage_path": snap.lineage_path,
          "kernel_version": snap.kernel_version})
+    if args.compact is not None:
+        from llmap_spark.sources.snapshot import compact_snapshots
+
+        c = compact_snapshots(spark, args.output,
+                              repartition=args.compact or None)
+        summary["compacted"] = (
+            None if c is None else
+            {"snapshot_id": c.snapshot_id, "n_rows": c.n_rows})
     if args.export_wet:
         from llmap_spark.sources.snapshot import read_extracted
         from llmap_spark.sources.warc import write_wet

@@ -53,18 +53,25 @@ def _root_dirs(out_root: str) -> tuple[Path, Path, Path]:
 
 
 def committed_snapshots(out_root: str) -> list[Snapshot]:
-    """All committed snapshots, ascending id. Ignores uncommitted dirs."""
+    """All LIVE committed snapshots, ascending id. Ignores uncommitted
+    dirs, and ignores snapshots RETIRED by a later compaction manifest's
+    "replaces" list — the instant a compaction manifest renames into
+    place, readers and resume must count the merged snapshot instead of
+    its sources (whose files may be deleted at any point after)."""
     _, _, mdir = _root_dirs(out_root)
     if not mdir.is_dir():
         return []
-    snaps = []
+    raw = []
+    replaced: set[int] = set()
     for f in mdir.glob("snapshot-*.json"):
         m = json.loads(f.read_text())
-        snaps.append(Snapshot(
+        replaced.update(m.get("replaces", []))
+        raw.append(Snapshot(
             snapshot_id=m["snapshot_id"], data_path=m["data_path"],
             lineage_path=m["lineage_path"], n_rows=m["n_rows"],
             kernel_version=m["kernel_version"], parent_id=m.get("parent_id"),
         ))
+    snaps = [s for s in raw if s.snapshot_id not in replaced]
     # sort by PARSED id, not filename: lexicographic order breaks past the
     # zero-pad width ('snapshot-1000000' < 'snapshot-999999'), which would
     # make next_id reuse a live id and overwrite committed data
@@ -163,6 +170,90 @@ def run_extract_job(spark: SparkSession, pages: DataFrame, out_root: str,
     tmp.write_text(json.dumps(manifest, indent=2))
     os.rename(tmp, mdir / f"snapshot-{next_id:06d}.json")  # atomic commit
     return Snapshot(next_id, data_path, lin_path, n_rows, KERNEL_VERSION, parent)
+
+
+def compact_snapshots(spark: SparkSession, out_root: str,
+                      repartition: int | None = None,
+                      clean: bool = True) -> Snapshot | None:
+    """Rewrite ALL live snapshots into ONE and retire the originals — the
+    lakehouse maintenance op a long-running store needs: every
+    incremental commit adds a data directory, and both readers and the
+    anti-join resume union/scan all of them, so a store with thousands of
+    small commits pays thousands of scan roots per query.
+
+    Kill-safe commit protocol (single-writer rename discipline, same as
+    run_extract_job):
+
+      1. write merged data + lineage under the NEXT snapshot id
+         (uncommitted garbage until step 2 — readers ignore it);
+      2. rename the new manifest into place; it carries
+         "replaces": [source ids], and committed_snapshots() hides any
+         snapshot a live manifest replaces — so this single atomic rename
+         switches every reader from the sources to the merged snapshot;
+      3. best-effort delete of the replaced manifests + dirs (a crash
+         here leaves garbage that step 2 already hid; pass clean=False
+         to keep the sources for audit).
+
+    Lineage rows are carried over VERBATIM (original snapshot_id values
+    preserved) — compaction reorganizes files, not history; sum(n_rows)
+    is invariant. Row content is invariant too (pinned by pytest).
+    Mixed kernel_version stores are refused, the resume gate's rule.
+
+    `repartition` controls the merged layout (e.g. pack thousands of
+    small files into N); None keeps Spark's natural partitioning.
+    Returns the new Snapshot, or None when fewer than two snapshots are
+    live (nothing to compact)."""
+    import shutil
+
+    snaps = committed_snapshots(out_root)
+    if len(snaps) < 2:
+        return None
+    stale = [s.snapshot_id for s in snaps if s.kernel_version != KERNEL_VERSION]
+    if stale:
+        raise ValueError(
+            f"snapshots {stale} in {out_root} were committed with a "
+            f"different kernel_version (current {KERNEL_VERSION}); refusing "
+            "to merge mixed extraction semantics into one snapshot")
+
+    next_id = snaps[-1].snapshot_id + 1
+    data_dir, lin_dir, mdir = _root_dirs(out_root)
+    data_path = str(data_dir / f"snap-{next_id:06d}")
+    lin_path = str(lin_dir / f"snap-{next_id:06d}")
+
+    merged = spark.read.parquet(*[s.data_path for s in snaps])
+    if repartition:
+        merged = merged.repartition(repartition)
+    merged.write.mode("overwrite").parquet(data_path)
+    lineage = spark.read.parquet(*[s.lineage_path for s in snaps])
+    lineage.write.mode("overwrite").parquet(lin_path)
+    n_rows = sum(s.n_rows for s in snaps)
+
+    manifest = {
+        "snapshot_id": next_id,
+        "parent_id": snaps[-1].snapshot_id,
+        "data_path": data_path,
+        "lineage_path": lin_path,
+        "n_rows": n_rows,
+        "kernel_version": KERNEL_VERSION,
+        "replaces": [s.snapshot_id for s in snaps],
+        "compaction": True,
+        "committed_at": _ts(time.time()),
+    }
+    mdir.mkdir(parents=True, exist_ok=True)
+    tmp = mdir / f".snapshot-{next_id:06d}.json.tmp"
+    tmp.write_text(json.dumps(manifest, indent=2))
+    os.rename(tmp, mdir / f"snapshot-{next_id:06d}.json")  # the switch
+    if clean:
+        for s in snaps:
+            try:
+                (mdir / f"snapshot-{s.snapshot_id:06d}.json").unlink(
+                    missing_ok=True)
+                shutil.rmtree(s.data_path, ignore_errors=True)
+                shutil.rmtree(s.lineage_path, ignore_errors=True)
+            except Exception:
+                pass  # hidden garbage; a later compaction can clean it
+    return Snapshot(next_id, data_path, lin_path, n_rows,
+                    KERNEL_VERSION, snaps[-1].snapshot_id)
 
 
 def _ts(unix_seconds: float) -> str:

@@ -75,3 +75,69 @@ def test_resume_refuses_mixed_kernel_versions(spark, pages_smoke, out_dir):
     mpath.write_text(json.dumps(m))
     with pytest.raises(ValueError, match="different .*kernel_version|kernel_version"):
         snap.run_extract_job(spark, pages, out_dir)
+
+
+def test_compaction_preserves_rows_and_resume(spark, pages_smoke, out_dir):
+    """compact_snapshots: one merged snapshot replaces the sources with
+    identical rows and lineage history; resume continues seamlessly on
+    top of the compacted store."""
+    pages = spark.read.parquet(pages_smoke)
+    total = pages.count()
+    third = total // 3
+
+    ordered = pages.orderBy("url")
+    snap.run_extract_job(spark, ordered.limit(third), out_dir, ExtractConfig())
+    snap.run_extract_job(spark, ordered.limit(2 * third), out_dir,
+                         ExtractConfig())
+    before = {(r.url, r.extracted_text, r.status)
+              for r in snap.read_extracted(spark, out_dir)
+              .select("url", "extracted_text", "status").collect()}
+    lin_before = {r.snapshot_id: r.n for r in
+                  snap.read_lineage(spark, out_dir).groupBy("snapshot_id")
+                  .agg(F.sum("n_rows").alias("n")).collect()}
+
+    c = snap.compact_snapshots(spark, out_dir, repartition=2)
+    assert c is not None and c.snapshot_id == 3
+    assert c.n_rows == 2 * third
+    live = snap.committed_snapshots(out_dir)
+    assert [s.snapshot_id for s in live] == [3]
+    after = {(r.url, r.extracted_text, r.status)
+             for r in snap.read_extracted(spark, out_dir)
+             .select("url", "extracted_text", "status").collect()}
+    assert after == before
+    # lineage history carried verbatim (original snapshot ids preserved)
+    lin_after = {r.snapshot_id: r.n for r in
+                 snap.read_lineage(spark, out_dir).groupBy("snapshot_id")
+                 .agg(F.sum("n_rows").alias("n")).collect()}
+    assert lin_after == lin_before
+
+    # resume on top of the compacted store: only the remainder runs
+    s_next = snap.run_extract_job(spark, pages, out_dir, ExtractConfig())
+    assert s_next is not None and s_next.snapshot_id == 4
+    assert s_next.n_rows == total - 2 * third
+    ex = snap.read_extracted(spark, out_dir)
+    assert ex.count() == total
+    assert ex.select("url").distinct().count() == total
+
+    # nothing left to compact twice in a row after a fresh compaction
+    assert snap.compact_snapshots(spark, out_dir) is not None  # 3+4 -> 5
+    assert snap.compact_snapshots(spark, out_dir) is None      # single live
+
+
+def test_compaction_crash_window_is_hidden(spark, pages_smoke, out_dir):
+    """A crash AFTER the compaction manifest renames but BEFORE cleanup
+    leaves the replaced manifests on disk — readers must already ignore
+    them (the atomic-switch contract)."""
+    pages = spark.read.parquet(pages_smoke).orderBy("url")
+    snap.run_extract_job(spark, pages.limit(30), out_dir, ExtractConfig())
+    snap.run_extract_job(spark, pages.limit(60), out_dir, ExtractConfig())
+    # clean=False simulates dying before step 3: sources still on disk
+    c = snap.compact_snapshots(spark, out_dir, clean=False)
+    assert c is not None
+    import pathlib
+
+    mdir = pathlib.Path(out_dir) / snap.MANIFEST_DIR
+    assert (mdir / "snapshot-000001.json").exists()  # garbage remains...
+    live = snap.committed_snapshots(out_dir)
+    assert [s.snapshot_id for s in live] == [3]      # ...but is hidden
+    assert snap.read_extracted(spark, out_dir).count() == 60
