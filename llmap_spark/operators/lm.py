@@ -86,6 +86,11 @@ def lm_score(df: DataFrame, model: dict[str, int], oov_millibits: int,
     in any engine given the same table."""
     from pyspark.sql.functions import pandas_udf
 
+    from llmap_spark.session import ensure_parallelism
+
+    # the standing Python-UDF contract: widen a single-split scan so the
+    # scoring pass doesn't serialize on one core
+    df = ensure_parallelism(df)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((dict(model), int(oov_millibits), n))
 

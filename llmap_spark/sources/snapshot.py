@@ -190,9 +190,16 @@ def compact_snapshots(spark: SparkSession, out_root: str,
          "replaces": [source ids], and committed_snapshots() hides any
          snapshot a live manifest replaces — so this single atomic rename
          switches every reader from the sources to the merged snapshot;
-      3. best-effort delete of the replaced manifests + dirs (a crash
-         here leaves garbage that step 2 already hid; pass clean=False
-         to keep the sources for audit).
+      3. best-effort delete of EVERY retired manifest + dirs — the new
+         sources and any earlier-retired orphans a crashed prior cleanup
+         left behind (a crash here leaves garbage that step 2 already
+         hid; pass clean=False to keep the sources for audit).
+
+    The "replaces" list is TRANSITIVE: it carries the union of the
+    sources' ids and everything their own manifests replaced. Without
+    this, deleting a prior compaction's manifest (the only record hiding
+    ITS sources) while crash-orphaned older manifests remain on disk
+    would RESURRECT those snapshots and double-count their rows.
 
     Lineage rows are carried over VERBATIM (original snapshot_id values
     preserved) — compaction reorganizes files, not history; sum(n_rows)
@@ -208,6 +215,14 @@ def compact_snapshots(spark: SparkSession, out_root: str,
     snaps = committed_snapshots(out_root)
     if len(snaps) < 2:
         return None
+    # raw manifest scan: the transitive replaced set (and the orphan
+    # manifests' paths for cleanup) are not in the live Snapshot view
+    _, _, mdir0 = _root_dirs(out_root)
+    raw_manifests = [json.loads(f.read_text())
+                     for f in mdir0.glob("snapshot-*.json")]
+    prior_replaced: set[int] = set()
+    for m in raw_manifests:
+        prior_replaced.update(m.get("replaces", []))
     stale = [s.snapshot_id for s in snaps if s.kernel_version != KERNEL_VERSION]
     if stale:
         raise ValueError(
@@ -235,7 +250,8 @@ def compact_snapshots(spark: SparkSession, out_root: str,
         "lineage_path": lin_path,
         "n_rows": n_rows,
         "kernel_version": KERNEL_VERSION,
-        "replaces": [s.snapshot_id for s in snaps],
+        # transitive: sources + everything any manifest ever replaced
+        "replaces": sorted({s.snapshot_id for s in snaps} | prior_replaced),
         "compaction": True,
         "committed_at": _ts(time.time()),
     }
@@ -244,12 +260,19 @@ def compact_snapshots(spark: SparkSession, out_root: str,
     tmp.write_text(json.dumps(manifest, indent=2))
     os.rename(tmp, mdir / f"snapshot-{next_id:06d}.json")  # the switch
     if clean:
-        for s in snaps:
+        # delete every RETIRED manifest/dir on disk, not just this pass's
+        # sources: crash-orphaned manifests from an earlier interrupted
+        # cleanup are retired too and must not outlive the record that
+        # hides them
+        retired = {s.snapshot_id for s in snaps} | prior_replaced
+        by_id = {m["snapshot_id"]: m for m in raw_manifests}
+        for sid in sorted(retired):
+            m = by_id.get(sid)
             try:
-                (mdir / f"snapshot-{s.snapshot_id:06d}.json").unlink(
-                    missing_ok=True)
-                shutil.rmtree(s.data_path, ignore_errors=True)
-                shutil.rmtree(s.lineage_path, ignore_errors=True)
+                (mdir / f"snapshot-{sid:06d}.json").unlink(missing_ok=True)
+                if m is not None:
+                    shutil.rmtree(m["data_path"], ignore_errors=True)
+                    shutil.rmtree(m["lineage_path"], ignore_errors=True)
             except Exception:
                 pass  # hidden garbage; a later compaction can clean it
     return Snapshot(next_id, data_path, lin_path, n_rows,

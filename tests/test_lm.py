@@ -12,9 +12,10 @@ def test_train_deterministic_and_scores_ordered():
     m1, oov1 = train_char_lm(corpus)
     m2, oov2 = train_char_lm(list(corpus))
     assert (m1, oov1) == (m2, oov2)
-    # every in-vocab gram is cheaper than OOV; common grams cheapest
+    # every in-vocab gram is cheaper than OOV; the most frequent gram
+    # must carry the MINIMUM cost (an inverted sign would flip this)
     assert all(0 <= v < oov1 for v in m1.values())
-    assert m1["the"] <= max(m1.values())
+    assert m1["the"] == min(m1.values())
 
 
 def test_typical_text_scores_lower_than_junk():

@@ -141,3 +141,33 @@ def test_compaction_crash_window_is_hidden(spark, pages_smoke, out_dir):
     live = snap.committed_snapshots(out_dir)
     assert [s.snapshot_id for s in live] == [3]      # ...but is hidden
     assert snap.read_extracted(spark, out_dir).count() == 60
+
+
+def test_second_compaction_does_not_resurrect_orphans(spark, pages_smoke,
+                                                      out_dir):
+    """Transitive 'replaces': compaction A crashes before cleanup (its
+    sources' manifests stay on disk); after another commit, compaction B
+    deletes A's manifest — the only record hiding A's sources. Without
+    carrying A's replaces forward, snapshots 1-2 would resurrect and
+    double-count every row (caught by review with a live repro)."""
+    import pathlib
+
+    pages = spark.read.parquet(pages_smoke).orderBy("url")
+    snap.run_extract_job(spark, pages.limit(20), out_dir, ExtractConfig())
+    snap.run_extract_job(spark, pages.limit(40), out_dir, ExtractConfig())
+    # compaction A: manifest lands, cleanup "crashes" (clean=False)
+    a = snap.compact_snapshots(spark, out_dir, clean=False)
+    assert a.snapshot_id == 3
+    snap.run_extract_job(spark, pages.limit(60), out_dir, ExtractConfig())
+    # compaction B with cleanup: must retire 1,2 transitively
+    b = snap.compact_snapshots(spark, out_dir)
+    assert b.snapshot_id == 5
+    live = snap.committed_snapshots(out_dir)
+    assert [s.snapshot_id for s in live] == [5]
+    ex = snap.read_extracted(spark, out_dir)
+    assert ex.count() == 60
+    assert ex.select("url").distinct().count() == 60  # no resurrection
+    # and B's global cleanup removed the crash-orphaned manifests too
+    mdir = pathlib.Path(out_dir) / snap.MANIFEST_DIR
+    assert sorted(f.name for f in mdir.glob("snapshot-*.json")) == [
+        "snapshot-000005.json"]
