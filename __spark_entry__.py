@@ -1384,6 +1384,33 @@ def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_robots_disallowed(urls, hosts).select("doc_id", "url")
 
 
+def _q_multimodal_resize_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (multimodal.with_resize_plan), driver-
+    verified: real PNGs with planted dimensions are fit to a 64x48 box;
+    header parse is REAL (media_meta), the fit scale and output
+    dimensions are integer arithmetic the oracle replays, and only the
+    pixel transform is the declared fake (payload-prefix; its byte length
+    depends on zlib output so it stays out of the hashed columns)."""
+    import pandas as pd
+
+    from llmap_spark.functions.multimodal import with_resize_plan
+    from llmap_spark.media_meta import make_png
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf_ in batches:
+            payloads = [make_png(16 + int(d) % 97, 16 + int(d) % 53)
+                        for d in pdf_["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf_["doc_id"],
+                                "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return with_resize_plan(payloads, "payload", max_w=64, max_h=48,
+                            keep_cols=("doc_id",)).select(
+        "doc_id", "orig_w", "orig_h", "out_w", "out_h", "scale_x1000")
+
+
 def _q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing, driver-verified: payloads of planted size
     (pure doc_id arithmetic, built JVM-side) fan out 1->4 frame rows whose
@@ -1617,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "multimodal_media_meta": _q_multimodal_media_meta,
         "multimodal_video_meta": _q_multimodal_video_meta,
+        "multimodal_resize_planted": _q_multimodal_resize_planted,
         "robots_gate": _q_robots_gate,
         "keyword_topk": _q_keyword_topk,
         "sitemap_discovery": _q_sitemap_discovery,
@@ -2272,6 +2300,22 @@ def oracle_sql() -> dict[str, str]:
               FROM tf t JOIN dfreq f USING (term))
             SELECT doc_id, term, tf, df_count, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "multimodal_resize_planted": """
+            WITH d AS (
+              SELECT doc_id,
+                CAST(16 + doc_id % 97 AS int) AS w,
+                CAST(16 + doc_id % 53 AS int) AS h
+              FROM documents),
+            sc AS (
+              SELECT *, CAST(least(1000, 64000 // w, 48000 // h) AS int)
+                AS s
+              FROM d)
+            SELECT doc_id, w AS orig_w, h AS orig_h,
+              CAST(w * s // 1000 AS int) AS out_w,
+              CAST(h * s // 1000 AS int) AS out_h,
+              s AS scale_x1000
+            FROM sc
         """,
         "multimodal_video_meta": """
             SELECT doc_id, 'video/mp4' AS kind,

@@ -191,6 +191,66 @@ def with_frame_samples(df: DataFrame, binary_col: str,
     return df.select(*cols).mapInPandas(fn, out_schema)
 
 
+RESIZE_PLAN_SCHEMA = ("orig_w int, orig_h int, out_w int, out_h int, "
+                      "scale_x1000 int, resized_len int, resized binary")
+
+
+def with_resize_plan(df: DataFrame, binary_col: str,
+                     max_w: int, max_h: int,
+                     keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Image resize PLUMBING: per-row fit-to-box planning with REAL header
+    parsing and integer scale arithmetic; only the pixel transform itself
+    is the declared fake (no codec libs in this container — see
+    resize_image for the seam a PIL-backed cluster wires in).
+
+    Per row: original dimensions come from the actual container headers
+    (media_meta — PNG/GIF/JPEG/MP4), the fit scale is
+    min(1000, max_w*1000 // w, max_h*1000 // h) in integer thousandths
+    (never upscale), and out_w/out_h are the floor-scaled dimensions.
+    The 'resized' payload is a DETERMINISTIC FAKE — the byte prefix of
+    length len*scale/1000 — carrying the batch shape a real resizer
+    produces (binary in -> binary out, same row count). Undecodable
+    payloads yield null metadata and a null payload (total)."""
+    from llmap_spark.media_meta import parse_media_meta
+
+    cols = list(keep_cols) + [binary_col]
+    dtypes = dict(df.dtypes)
+    carry_ddl = ", ".join(f"{c} {dtypes[c]}" for c in keep_cols)
+    out_schema = (carry_ddl + ", " if carry_ddl else "") + RESIZE_PLAN_SCHEMA
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            rows = {c: [] for c in list(keep_cols) + [
+                "orig_w", "orig_h", "out_w", "out_h", "scale_x1000",
+                "resized_len", "resized"]}
+            carry_arrays = [pdf_[c] for c in keep_cols]
+            for j, v in enumerate(pdf_[binary_col]):
+                for c, arr in zip(keep_cols, carry_arrays):
+                    rows[c].append(arr.iloc[j])
+                meta = parse_media_meta(v)
+                w, h = meta.width, meta.height
+                if not w or not h:
+                    for k in ("orig_w", "orig_h", "out_w", "out_h",
+                              "scale_x1000", "resized_len"):
+                        rows[k].append(None)
+                    rows["resized"].append(None)
+                    continue
+                scale = min(1000, (max_w * 1000) // w, (max_h * 1000) // h)
+                out_w = (w * scale) // 1000
+                out_h = (h * scale) // 1000
+                fake = bytes(v[:max(1, (len(v) * scale) // 1000)])
+                rows["orig_w"].append(w)
+                rows["orig_h"].append(h)
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["scale_x1000"].append(scale)
+                rows["resized_len"].append(len(fake))
+                rows["resized"].append(fake)
+            yield pd.DataFrame(rows)
+
+    return df.select(*cols).mapInPandas(fn, out_schema)
+
+
 def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover
     """Seam for real image resizing (PIL/torchvision). Declared stub: the
     container ships no codecs; the Spark-side plumbing (binary in/out

@@ -153,3 +153,30 @@ def test_mp4_totality_on_garbage():
     trunc = mm.make_mp4(64, 64, 5000)[:40]
     got = mm.parse_media_meta(trunc)
     assert got.kind == "video/mp4"  # never raises on truncation
+
+
+def test_resize_plan_shapes_and_totality(spark):
+    """with_resize_plan: real header dims, integer fit arithmetic, never
+    upscales, total on null/garbage, deterministic fake payload."""
+    from llmap_spark.functions.multimodal import with_resize_plan
+
+    rows = [(1, mm.make_png(200, 100, 8)),   # downscale, width-bound
+            (2, mm.make_png(10, 10, 8)),     # smaller than box: no-op
+            (3, None),
+            (4, b"\x00garbage"),
+            (5, mm.make_mp4(640, 360, 1000))]  # video dims resize too
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in with_resize_plan(
+        df, "payload", max_w=64, max_h=48, keep_cols=("id",)).collect()}
+    assert len(out) == 5  # one row per input row, always
+    r1 = out[1]
+    assert (r1.orig_w, r1.orig_h) == (200, 100)
+    assert r1.scale_x1000 == min(1000, 64000 // 200, 48000 // 100) == 320
+    assert (r1.out_w, r1.out_h) == (64, 32)
+    assert r1.resized_len == len(rows[0][1]) * 320 // 1000
+    r2 = out[2]
+    assert r2.scale_x1000 == 1000 and (r2.out_w, r2.out_h) == (10, 10)
+    assert bytes(r2.resized) == rows[1][1]  # no-op scale keeps all bytes
+    for i in (3, 4):
+        assert out[i].orig_w is None and out[i].resized is None
+    assert (out[5].out_w, out[5].out_h) == (64, 36)
