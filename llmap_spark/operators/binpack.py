@@ -47,21 +47,32 @@ def collate_approx(df: DataFrame, order_col: str, size_col: str,
 def greedy_pack(sizes: Iterable[int], budget: int) -> list[int]:
     """Pure-Python greedy bin packing — the reference's collate loop
     restated (llmap.py:23-64): close the bin when the next item would
-    overflow; items >= budget are solo bins."""
-    out, cur, acc = [], 0, 0
+    overflow; items >= budget are solo bins.
+
+    Totality rules: a None/NaN size counts as 0 (matching collate_approx,
+    whose F.sum skips NULLs — a NaN accumulator would otherwise never
+    close another bin); bin occupancy is tracked EXPLICITLY, not via
+    acc > 0, so an oversized item after zero-size items still gets its
+    solo bin (empty-shell docs legitimately have size 0)."""
+    out, cur, acc, n_in_bin = [], 0, 0, 0
     for s in sizes:
+        if s is None or s != s:  # None or NaN
+            s = 0
         if s >= budget:
-            if acc > 0:
+            if n_in_bin > 0:
                 cur += 1
             out.append(cur)
             cur += 1
             acc = 0
+            n_in_bin = 0
             continue
-        if acc + s > budget and acc > 0:
+        if acc + s > budget and n_in_bin > 0:
             cur += 1
             acc = 0
+            n_in_bin = 0
         out.append(cur)
         acc += s
+        n_in_bin += 1
     return out
 
 

@@ -162,7 +162,11 @@ def canonical_url(url: Column) -> Column:
     total, like every kernel here. This is the url-side dedup key: the
     same page fetched as HTTP://Host:80/a#x and http://host/a must
     fingerprint identically."""
-    u = F.regexp_replace(url, r"#.*$", "")
+    # (?s): URLs can legally carry embedded newlines/CR from href/loc
+    # text; without DOTALL the '.*'/'(.*)$' patterns fail to cover them,
+    # silently DROPPING the whole path+query — two distinct URLs then
+    # collapse onto one dedup key (scheme://host)
+    u = F.regexp_replace(url, r"(?s)#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"(?i)^([a-z][a-z0-9+.-]*)://", 1))
     hostport = F.lower(
         F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
@@ -171,8 +175,8 @@ def canonical_url(url: Column) -> Column:
     # stripping its last char would both mutate a real query and break
     # idempotency (canonical(canonical(u)) != canonical(u))
     rest = F.regexp_replace(
-        F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+(.*)$", 1),
-        r"^([^?]*)\?$", "$1")
+        F.regexp_extract(u, r"(?is)^[a-z][a-z0-9+.-]*://[^/?#]+(.*)$", 1),
+        r"(?s)^([^?]*)\?$", "$1")
     # (:PORT)+$ not :PORT$: a malformed double port ('h:443:443') must
     # canonicalize in ONE application or the key is not idempotent
     # (pinned by test_canonical_url_idempotent)
@@ -195,8 +199,23 @@ def link_host_edges(pages: DataFrame, url_col: str = "url",
     self-loop counts for PageRank/spam-signal consumers. One explode + one
     groupBy shuffle, zero Python."""
     src = host_of(F.col(url_col)).alias("src_host")
+    # explode_OUTER: plain explode gets the document-scale href regexp
+    # CLONED into an optimizer-inserted pre-explode filter
+    # (InferFiltersFromGenerate — the CLAUDE.md gotcha, here with a JVM
+    # expression), running it twice per page; the null rows outer adds
+    # die in the same filter below that drops empties
     links = pages.select(
-        src, F.explode(extract_hrefs(decoded_html(F.col(html_col)))).alias("_l"))
+        src,
+        F.explode_outer(
+            extract_hrefs(decoded_html(F.col(html_col)))).alias("_l0"))
+    # trim BEFORE classification (WHATWG URL parsing strips surrounding
+    # whitespace): an href like '\n  http://other/x' would fail every
+    # anchored pattern and fall through to a SELF edge, corrupting
+    # exactly the counts the scheme filters exist to protect. Regexp
+    # trim, NOT F.trim — Spark's trim strips only 0x20 spaces, not \n/\t
+    links = links.select(
+        "src_host",
+        F.regexp_replace(F.col("_l0"), r"^\s+|\s+$", "").alias("_l"))
     l = F.col("_l")
     non_http_scheme = (l.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
                        & ~l.rlike(r"(?i)^https?://"))
@@ -205,7 +224,8 @@ def link_host_edges(pages: DataFrame, url_col: str = "url",
            .when(pr_host != "", pr_host)
            .otherwise(F.col("src_host")))
     return (
-        links.filter((l != "") & ~l.startswith("#") & ~non_http_scheme)
+        links.filter(l.isNotNull() & (l != "") & ~l.startswith("#")
+                     & ~non_http_scheme)
         .select("src_host", dst.alias("dst_host"))
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("n_links"))

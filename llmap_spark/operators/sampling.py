@@ -70,6 +70,13 @@ def weighted_sample(df: DataFrame, weight_bp_col: str, seed: int = 42,
                     key_col: str = "doc_id") -> DataFrame:
     """Keep each row with its OWN probability weight_bp/10000 (a per-row
     integer column — e.g. a quality score mapped to a keep rate, so
-    high-quality documents survive curation sampling preferentially)."""
+    high-quality documents survive curation sampling preferentially).
+
+    NULL weight = keep rate 0, EXPLICITLY (coalesce): a bare
+    `coin < NULL` comparison is NULL and the filter would drop the row
+    anyway, but silently — via SQL three-valued logic rather than a
+    stated rule. Unknown quality never survives a quality-weighted
+    sample; assign weights first if that is not the intent."""
     return df.filter(
-        portable_coin(F.col(key_col), seed) < F.col(weight_bp_col))
+        portable_coin(F.col(key_col), seed)
+        < F.coalesce(F.col(weight_bp_col), F.lit(0)))

@@ -52,7 +52,15 @@ def windowed_counts_stream(spark: SparkSession, src_path: str,
     stream requires. 'complete' retains every window forever and makes the
     watermark inert; the test harness uses it deliberately because its
     input is bounded and it wants the final table to equal the batch twin
-    exactly — never run 'complete' on a real stream."""
+    exactly — never run 'complete' on a real stream.
+
+    MEMORY-SINK caveat under 'update': the memory sink APPENDS each
+    update, so a window touched by several micro-batches appears once per
+    update in the queryable table — consumers must take the LAST row per
+    (win_start, event_type) (or aggregate with max), not sum the table.
+    The memory sink is the demo/test surface; a real deployment points
+    this aggregation at a keyed sink (Delta/JDBC upsert) where 'update'
+    semantics land as replacements."""
     events = (spark.readStream.schema(EVENTS_DDL).format("parquet")
               .load(src_path))
     agg = (

@@ -1052,3 +1052,57 @@ def test_minhash_duplicate_ids_no_self_pairs(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = minhash_lsh_candidates(df, materialize=True).collect()
     assert all(r.id_a < r.id_b for r in pairs)
+
+
+def test_canonical_url_embedded_newline_keeps_path(spark):
+    """Java regex '.' excludes newlines: without DOTALL, a URL with an
+    embedded newline lost its whole path+query and collapsed onto the
+    bare scheme://host dedup key."""
+    from llmap_spark.operators.links import canonical_url
+
+    rows = [(1, "http://h.example/a\nb"), (2, "http://h.example/c\r2"),
+            (3, "HTTP://H.example:80/x#f\nrag")]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.c for r in df.select(
+        "id", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got[1] == "http://h.example/a\nb"
+    assert got[2] == "http://h.example/c\r2"
+    assert got[3] == "http://h.example/x"  # fragment strip spans the \n
+    assert got[1] != got[2]  # distinct pages stay distinct
+
+
+def test_link_host_edges_trims_whitespace_hrefs(spark):
+    """Whitespace-prefixed hrefs (pretty-printed HTML) must classify by
+    their trimmed value — not fall through every anchored pattern into a
+    bogus SELF edge."""
+    from llmap_spark.operators.links import link_host_edges
+
+    html = ('<a href="\n  http://other.example/x">a</a>'
+            '<a href="  #frag">b</a>'
+            '<a href=" javascript:void(0)">c</a>'
+            '<a href="/rel">d</a>').encode()
+    df = spark.createDataFrame([("http://src.example/p", html)],
+                               "url string, html binary")
+    got = {(r.src_host, r.dst_host): r.n_links
+           for r in link_host_edges(df).collect()}
+    assert got == {("src.example", "other.example"): 1,
+                   ("src.example", "src.example"): 1}  # only the /rel link
+
+
+def test_weighted_sample_null_weight_is_explicit_zero(spark):
+    from llmap_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 10000), (2, None), (3, 10000)], "doc_id long, w_bp int")
+    kept = {r.doc_id for r in weighted_sample(df, "w_bp").collect()}
+    assert kept == {1, 3}  # null weight -> rate 0, by rule not by NULL-logic
+
+
+def test_greedy_pack_zero_sizes_and_nan_totality():
+    from llmap_spark.operators.binpack import greedy_pack
+
+    # oversize after zero-size items still gets its own bin
+    assert greedy_pack([0, 20], 10) == [0, 1]
+    assert greedy_pack([0, 0, 5, 20, 3], 10) == [0, 0, 0, 1, 2]
+    # None/NaN count as zero instead of poisoning the accumulator
+    assert greedy_pack([5, None, 6, float("nan"), 6], 10) == [0, 0, 1, 1, 2]
