@@ -1384,6 +1384,41 @@ def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_robots_disallowed(urls, hosts).select("doc_id", "url")
 
 
+def _q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC + MP3 header metadata, driver-verified: even docs render FLAC
+    STREAMINFO blocks (planted rate/channels/total-samples -> exact
+    duration), odd docs render ID3+MPEG1-Layer-III frames (planted
+    rate/bitrate indexes -> CBR duration estimate). Only columns non-null
+    for BOTH kinds are selected (the sort-tuple compare rule documented
+    on multimodal_image_meta)."""
+    import pandas as pd
+
+    from llmap_spark.media_meta import make_flac, make_mp3, with_media_meta
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf_ in batches:
+            payloads = []
+            for d in pdf_["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    rate = 8000 * (1 + d % 6)
+                    payloads.append(make_flac(
+                        rate, 1 + (d // 2) % 2, 8 * (1 + d % 3),
+                        rate * (1 + d % 7)))
+                else:
+                    payloads.append(make_mp3(
+                        d % 3, 1 + d % 14, 1000 + d % 4096,
+                        mono=(d % 4 == 1)))
+            yield pd.DataFrame({"doc_id": pdf_["doc_id"],
+                                "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return with_media_meta(payloads, "payload", keep_cols=("doc_id",)) \
+        .select("doc_id", "kind", "sample_rate", "channels", "duration_ms")
+
+
 def _q_multimodal_resize_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing (multimodal.with_resize_plan), driver-
     verified: real PNGs with planted dimensions are fit to a 64x48 box;
@@ -1645,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_meta": _q_multimodal_media_meta,
         "multimodal_video_meta": _q_multimodal_video_meta,
         "multimodal_resize_planted": _q_multimodal_resize_planted,
+        "multimodal_audio_meta": _q_multimodal_audio_meta,
         "robots_gate": _q_robots_gate,
         "keyword_topk": _q_keyword_topk,
         "sitemap_discovery": _q_sitemap_discovery,
@@ -2300,6 +2336,24 @@ def oracle_sql() -> dict[str, str]:
               FROM tf t JOIN dfreq f USING (term))
             SELECT doc_id, term, tf, df_count, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "multimodal_audio_meta": """
+            WITH br AS (SELECT [32, 40, 48, 56, 64, 80, 96, 112, 128,
+                                160, 192, 224, 256, 320] AS l)
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'audio/flac'
+                   ELSE 'audio/mpeg' END AS kind,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 6)
+                   ELSE ([44100, 48000, 32000])[1 + doc_id % 3]
+                   END AS int) AS sample_rate,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2
+                   WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS int)
+                AS channels,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 * (1 + doc_id % 7)
+                   ELSE (1000 + doc_id % 4096) * 8
+                        // (SELECT l[CAST(1 + doc_id % 14 AS int)] FROM br)
+                   END AS int) AS duration_ms
+            FROM documents
         """,
         "multimodal_resize_planted": """
             WITH d AS (

@@ -1,6 +1,7 @@
 """Stdlib-only media header metadata: PNG / GIF / JPEG dimensions + bit
-depth, WAV sample rate / channels / bits, MP4 (ISO-BMFF) track dimensions
-+ duration — parsed from container headers, no codec library.
+depth, WAV / FLAC / MP3 sample rate / channels / bits, MP4 (ISO-BMFF)
+track dimensions + duration — parsed from container headers, no codec
+library.
 
 Replaces the round-1 byte-histogram stand-in as the *metadata* half of the
 multimodal story: full pixel/sample decode still needs codec libs (the
@@ -158,6 +159,62 @@ def _mp4(b: bytes) -> MediaMeta:
     return MediaMeta("video/mp4", w, h, None, None, None, dur_ms)
 
 
+def _flac(b: bytes) -> MediaMeta:
+    """STREAMINFO (mandatory first metadata block): sample rate (20 bits),
+    channels-1 (3), bits-1 (5), total samples (36) packed at byte 18 of
+    the file; duration derives from total/rate."""
+    if len(b) < 8 + 34 or (b[4] & 0x7F) != 0:
+        return MediaMeta("audio/flac", None, None, None, None, None, None)
+    info = b[8:8 + 34]
+    packed = int.from_bytes(info[10:18], "big")
+    rate = (packed >> 44) & 0xFFFFF
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & 0xFFFFFFFFF
+    dur = (total * 1000) // rate if rate else None
+    if dur is not None and dur > 0x7FFFFFFF:
+        dur = None
+    return MediaMeta("audio/flac", None, None, bits,
+                     rate or None, channels, dur)
+
+
+# MPEG1 Layer III tables (the common web case; indexes per the spec)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 160, 192, 224, 256, 320, 0)   # kbit/s
+_MP3_RATES = (44100, 48000, 32000, 0)
+
+
+def _mp3(b: bytes) -> MediaMeta:
+    """First MPEG1-Layer-III frame header after an optional ID3v2 tag:
+    bitrate/sample-rate/channels, plus a CBR duration estimate from the
+    audio byte count (the standard header-only approximation)."""
+    off = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+                | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
+        off = 10 + size
+    null = MediaMeta("audio/mpeg", None, None, None, None, None, None)
+    if off + 4 > len(b):
+        return null
+    h = b[off:off + 4]
+    if not (h[0] == 0xFF and (h[1] & 0xE0) == 0xE0):
+        return null
+    version = (h[1] >> 3) & 0x3   # 3 = MPEG1
+    layer = (h[1] >> 1) & 0x3     # 1 = Layer III
+    if version != 3 or layer != 1:
+        return null  # only the common MPEG1 Layer III tables are carried
+    bitrate = _MP3_BITRATES[(h[2] >> 4) & 0xF]
+    rate = _MP3_RATES[(h[2] >> 2) & 0x3]
+    channels = 1 if ((h[3] >> 6) & 0x3) == 3 else 2
+    if not bitrate or not rate:
+        return MediaMeta("audio/mpeg", None, None, None,
+                         rate or None, channels, None)
+    dur = ((len(b) - off) * 8) // bitrate  # bytes*8 / (kbit/s) = ms
+    if dur > 0x7FFFFFFF:
+        dur = None
+    return MediaMeta("audio/mpeg", None, None, None, rate, channels, dur)
+
+
 def parse_media_meta(payload: bytes | None) -> MediaMeta:
     """Header metadata by magic-byte dispatch. Total: unknown/short/corrupt
     payloads yield nulls (kind too, when the magic is unrecognized)."""
@@ -174,6 +231,12 @@ def parse_media_meta(payload: bytes | None) -> MediaMeta:
             return _wav(payload)
         if len(payload) >= 12 and payload[4:8] == b"ftyp":
             return _mp4(payload)
+        if payload[:4] == b"fLaC":
+            return _flac(payload)
+        if payload[:3] == b"ID3" or (
+                len(payload) >= 4 and payload[0] == 0xFF
+                and (payload[1] & 0xE0) == 0xE0):
+            return _mp3(payload)
     except Exception:
         return _NULL
     return _NULL
@@ -262,3 +325,32 @@ def make_mp4(width: int, height: int, duration_ms: int,
             + struct.pack(">II", width << 16, height << 16))
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
     return ftyp + box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+
+
+def make_flac(sample_rate: int, channels: int = 2, bits: int = 16,
+              total_samples: int = 44100) -> bytes:
+    """Minimal FLAC: magic + last-block STREAMINFO with the planted
+    stream parameters. Deterministic."""
+    packed = ((sample_rate & 0xFFFFF) << 44
+              | ((channels - 1) & 0x7) << 41
+              | ((bits - 1) & 0x1F) << 36
+              | (total_samples & 0xFFFFFFFFF))
+    info = (struct.pack(">HH", 16, 16)          # min/max blocksize
+            + b"\x00\x00\x00" * 2            # min/max framesize
+            + packed.to_bytes(8, "big")
+            + b"\x00" * 16)                    # md5 of samples (unset)
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + info
+
+
+def make_mp3(sample_rate_idx: int = 0, bitrate_idx: int = 9,
+             n_audio_bytes: int = 4000, mono: bool = False) -> bytes:
+    """Minimal MP3: ID3v2 tag (empty) + one MPEG1-Layer-III frame header
+    + zero audio bytes. Deterministic; duration estimate =
+    n_audio_bytes*8 / bitrate_kbps ms."""
+    id3 = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 0])   # v2.3, no flags, size 0
+    h1 = 0xFF
+    h2 = 0xE0 | (3 << 3) | (1 << 1) | 1           # MPEG1, Layer III, no CRC
+    h3 = (bitrate_idx << 4) | (sample_rate_idx << 2)
+    h4 = (3 << 6) if mono else 0                  # mono vs stereo
+    frame = bytes([h1, h2, h3, h4]) + b"\x00" * max(0, n_audio_bytes - 4)
+    return id3 + frame

@@ -180,3 +180,32 @@ def test_resize_plan_shapes_and_totality(spark):
     for i in (3, 4):
         assert out[i].orig_w is None and out[i].resized is None
     assert (out[5].out_w, out[5].out_h) == (64, 36)
+
+
+@pytest.mark.parametrize("sr,ch,bits,total", [(44100, 2, 16, 44100),
+                                              (48000, 1, 24, 96000),
+                                              (8000, 8, 32, 1)])
+def test_flac_roundtrip(sr, ch, bits, total):
+    got = mm.parse_media_meta(mm.make_flac(sr, ch, bits, total))
+    assert got == ("audio/flac", None, None, bits, sr, ch,
+                   total * 1000 // sr)
+
+
+def test_mp3_roundtrip_and_duration_estimate():
+    got = mm.parse_media_meta(mm.make_mp3(1, 14, 8000, mono=True))
+    # idx 1 -> 48000 Hz, idx 14 -> 320 kbps; 8000 audio bytes
+    assert got == ("audio/mpeg", None, None, None, 48000, 1,
+                   8000 * 8 // 320)
+    # bare frame without ID3 tag also sniffs
+    bare = mm.make_mp3(0, 9, 100)[10:]
+    assert mm.parse_media_meta(bare).sample_rate == 44100
+
+
+def test_flac_mp3_totality():
+    assert mm.parse_media_meta(b"fLaC") == (
+        "audio/flac", None, None, None, None, None, None)
+    assert mm.parse_media_meta(b"ID3" + b"\x00" * 7) == (
+        "audio/mpeg", None, None, None, None, None, None)
+    # free-format bitrate (idx 0) and reserved rate give nulls, not junk
+    weird = mm.make_mp3(0, 0, 100)
+    assert mm.parse_media_meta(weird).duration_ms is None
