@@ -90,7 +90,11 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     return (
         df.join(verdict, [id_col], "left")
         .withColumn("rep_id", F.coalesce(F.col("rep_id"), F.col(id_col)))
-        .withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
+        # coalesce: for a null-id row both sides are NULL and != yields
+        # NULL, which filter(~is_dup) downstream (training.kept_documents)
+        # would silently DROP — the survival contract says False
+        .withColumn("is_dup", F.coalesce(
+            F.col(id_col) != F.col("rep_id"), F.lit(False)))
         # the USING join hoists the key to column 0; restore input order
         .select(*df.columns, "fingerprint", "rep_id", "is_dup")
     )

@@ -155,30 +155,51 @@ def is_allowed(rules: list[tuple[int, str]], path: str) -> bool:
     return _decide(rules, path)
 
 
-def _norm_host(col):
-    """Symmetric authority normalization for the rules join: lowercase,
-    strip userinfo, strip the default :80/:443 ports. Applied to BOTH
-    sides — asymmetric normalization fails OPEN (no rules matched ->
-    everything allowed)."""
+def _norm_host(col, scheme_col=None):
+    """Authority normalization for the rules join: lowercase, strip
+    userinfo, strip the DEFAULT port. With `scheme_col` (the URL side,
+    where the scheme is known) only that scheme's default is stripped —
+    :80 for http, :443 for https — so http://host:443 keys as 'host:443'
+    and does NOT pick up host's (https-origin) robots rules; an unmatched
+    non-default port fails OPEN (no rules -> allowed), never cross-origin.
+    Without `scheme_col` (the robots side is a bare host string with no
+    scheme) both defaults strip — the documented approximation: a bare
+    'host:443' robots row covers the default-port origins of 'host'.
+    Normalization stays symmetric for every default-port authority, which
+    is what keeps the join from failing open on case/userinfo noise."""
     h = F.lower(col)
     h = F.regexp_replace(h, r"^[^@]*@", "")
-    return F.regexp_replace(h, r":(80|443)$", "")
+    if scheme_col is None:
+        return F.regexp_replace(h, r":(80|443)$", "")
+    return (F.when(scheme_col == "http", F.regexp_replace(h, r":80$", ""))
+            .when(scheme_col == "https", F.regexp_replace(h, r":443$", ""))
+            .otherwise(h))
 
 
 def robots_rules(robots_df: DataFrame, agent: str = "*",
                  host_col: str = "host", body_col: str = "body") -> DataFrame:
     """(host, robots.txt body) -> (host, rules array<struct<allow,pattern>>):
-    parse once per host, driver-free. The output is one compact row per
-    host (normalized authority key) — the frame the URL join consumes."""
+    parse once per host, driver-free. The output is ENFORCED one row per
+    NORMALIZED host — two raw hosts that normalize to the same key
+    ('r5.example' and 'R5.example:443'), or duplicate fetches of one
+    host, would otherwise fan out the left join in
+    filter_robots_disallowed and duplicate every kept URL row for that
+    host. Ties collapse to min(body): deterministic, and for the common
+    duplicate-fetch case the bodies are identical anyway. The groupBy is
+    a shuffle of (host, robots body) rows only — a few KB per distinct
+    host, never the URL corpus."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<struct<allow: int, pattern: string>>")
     def parse(bodies: pd.Series) -> pd.Series:
         return pd.Series([parse_robots(b, agent) for b in bodies])
 
-    return robots_df.select(
+    one_per_host = (robots_df.select(
         _norm_host(F.col(host_col)).alias("host"),
-        parse(F.col(body_col)).alias("rules"))
+        F.col(body_col).alias("__robots_body"))
+        .groupBy("host").agg(F.min("__robots_body").alias("__robots_body")))
+    return one_per_host.select(
+        "host", parse(F.col("__robots_body")).alias("rules"))
 
 
 def filter_robots_disallowed(urls_df: DataFrame, robots_df: DataFrame,
@@ -201,9 +222,13 @@ def filter_robots_disallowed(urls_df: DataFrame, robots_df: DataFrame,
 
     rules = robots_rules(robots_df, agent, host_col, body_col) \
         .withColumnRenamed("rules", "__robots_rules")
-    # scheme match is case-insensitive ('HTTPS://' is a valid URL)
+    # scheme match is case-insensitive ('HTTPS://' is a valid URL); the
+    # scheme feeds _norm_host so only the SCHEME'S default port strips
+    scheme_of = F.lower(F.regexp_extract(
+        F.col(url_col), r"(?i)^([a-z][a-z0-9+.-]*)://", 1))
     host_of = _norm_host(F.regexp_extract(
-        F.col(url_col), r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+        F.col(url_col), r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+        scheme_col=scheme_of)
     with_host = urls_df.withColumn("__robots_host", host_of)
     joined = with_host.join(
         rules, with_host["__robots_host"] == rules["host"], "left") \

@@ -255,9 +255,23 @@ def gzip_member_offsets(f, max_members: int = MAX_RECORDS_PER_FILE) -> list[int]
 def _member_chunks(path: str, target_chunk_bytes: int) -> list[tuple[int, int]]:
     """Group consecutive gzip members of `path` into (start, length) spans
     of ~target_chunk_bytes compressed size (always whole members, so each
-    span is a valid multi-member gzip stream)."""
+    span is a valid multi-member gzip stream).
+
+    NON-GZIP fallback: an oversized PLAIN (uncompressed) WARC has no gzip
+    members, so gzip_member_offsets returns [] — yielding no chunks would
+    SILENTLY DROP the whole file from the split route while the default
+    binaryFile route parses it fine. Emit one whole-file span instead:
+    parse_warc handles plain WARC via the _decompress pass-through, so the
+    file still contributes its rows (as a single task — plain WARC has no
+    cheap record-boundary index; that one fat task is the price of an
+    uncompressed archive, not data loss)."""
+    import os
+
     with open(path, "rb") as f:
         ends = gzip_member_offsets(f)
+    if not ends:
+        size = os.path.getsize(path)
+        return [(0, size)] if size else []
     chunks: list[tuple[int, int]] = []
     start = 0
     for e in ends:

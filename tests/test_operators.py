@@ -448,7 +448,10 @@ def test_exact_dedup_preserves_rows_and_extra_columns(spark):
     got = {r.tag: r for r in out}
     assert got["a"].rep_id == 1 and got["b"].is_dup
     assert got["a"].fingerprint != "stale"  # replaced, not duplicated
-    assert got["c"].rep_id is None  # null id survives as its own row
+    # null id survives as its own row, with is_dup FALSE not NULL — a
+    # NULL is_dup would make downstream filter(~is_dup) silently drop it
+    assert got["c"].rep_id is None
+    assert got["c"].is_dup is False
     assert got["d"].fingerprint is None and not got["d"].is_dup
 
 

@@ -152,6 +152,57 @@ def test_host_normalization_is_symmetric(spark):
     assert got == {"https://r5.example/open"}
 
 
+def test_duplicate_robots_rows_do_not_fan_out_urls(spark):
+    """Two robots rows whose raw hosts normalize to the SAME key (plus a
+    straight duplicate fetch) must collapse to one rules row — otherwise
+    the left join duplicates every kept URL row for that host."""
+    robots_df = spark.createDataFrame(
+        [("r5.example", "User-Agent: *\nDisallow: /priv/"),
+         ("R5.example:443", "User-Agent: *\nDisallow: /priv/"),
+         ("r5.example", "User-Agent: *\nDisallow: /priv/")],
+        "host string, body string")
+    urls = spark.createDataFrame(
+        [("https://r5.example/open",), ("https://r5.example/priv/x",)],
+        "url string")
+    rows = filter_robots_disallowed(urls, robots_df).collect()
+    assert [r.url for r in rows] == ["https://r5.example/open"]
+
+
+def test_conflicting_duplicate_robots_rows_pick_one_verdict(spark):
+    """Same normalized host, DIFFERENT bodies: the verdict must be one
+    deterministic choice (min body), never both applied inconsistently."""
+    robots_df = spark.createDataFrame(
+        [("dup.example", "User-Agent: *\nDisallow: /a/"),
+         ("DUP.example", "User-Agent: *\nDisallow: /b/")],
+        "host string, body string")
+    urls = spark.createDataFrame(
+        [("https://dup.example/a/x",), ("https://dup.example/b/x",),
+         ("https://dup.example/c/x",)], "url string")
+    got = sorted(r.url for r in
+                 filter_robots_disallowed(urls, robots_df).collect())
+    # min(body) picks the 'Disallow: /a/' ruleset (lexicographic tie-break
+    # on identical 'User-Agent: *\n' prefixes: '/a/' < '/b/')
+    assert got == ["https://dup.example/b/x", "https://dup.example/c/x"]
+
+
+def test_non_default_port_does_not_steal_host_rules(spark):
+    """http://host:443 is a DIFFERENT origin than https://host: it must
+    not pick up host's rules (fails open), while each scheme's true
+    default port still normalizes away."""
+    robots_df = spark.createDataFrame(
+        [("p9.example", "User-Agent: *\nDisallow: /priv/")],
+        "host string, body string")
+    urls = spark.createDataFrame(
+        [("http://p9.example:443/priv/x",),   # non-default for http: open
+         ("https://p9.example:80/priv/x",),   # non-default for https: open
+         ("http://p9.example:80/priv/x",),    # default: rules apply
+         ("https://p9.example:443/priv/x",),  # default: rules apply
+         ("https://p9.example/priv/x",)], "url string")
+    got = {r.url for r in filter_robots_disallowed(urls, robots_df).collect()}
+    assert got == {"http://p9.example:443/priv/x",
+                   "https://p9.example:80/priv/x"}
+
+
 def test_caller_host_and_rules_columns_survive(spark):
     robots_df = spark.createDataFrame(
         [("h.example", "User-Agent: *\nDisallow: /no/")],

@@ -139,6 +139,32 @@ def test_split_read_matches_whole_read(spark, tmp_path):
         assert blob[:2] == b"\x1f\x8b"
 
 
+def test_oversized_plain_warc_not_dropped_by_split_route(spark, tmp_path):
+    """An UNCOMPRESSED .warc above split_threshold has no gzip members to
+    index — the split route must fall back to one whole-file chunk (same
+    rows as the default route), never silently contribute zero rows."""
+    recs = [(f"https://plain.example/doc{i}", "2025-01-01T00:00:00Z",
+             (f"<html><body><p>plain {i} " + "y" * 300 + "</p></body></html>")
+             .encode()) for i in range(16)]
+    p = tmp_path / "plain-00000.warc"
+    p.write_bytes(warc.make_warc(recs, compress=False))
+
+    # unit: the chunk index itself yields the whole-file span
+    assert warc._member_chunks(str(p), 4096) == [(0, p.stat().st_size)]
+
+    whole = warc.read_warc(spark, str(tmp_path))
+    split = warc.read_warc(spark, str(tmp_path), split_threshold=1024,
+                           target_chunk_bytes=4096)
+
+    def rows(df):
+        return sorted((r.url, bytes(r.html), r.warc_ts, r.warc_path)
+                      for r in df.collect())
+
+    got = rows(split)
+    assert got == rows(whole)
+    assert len(got) == len(recs)
+
+
 def test_warc_stream_incremental_pickup(spark, tmp_path):
     """Streaming WARC ingest: archives dropped AFTER the query starts are
     parsed incrementally through the same kernel, with rows identical to
