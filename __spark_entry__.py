@@ -1644,15 +1644,52 @@ def _q_scrub_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING IS DELIBERATE (r3 verdict item 1): the driver's sampler
-    # took exactly the first 50 entries in r3, leaving 22 queries without
-    # a CORRECTNESS row. Entries the driver has NEVER hash-checked (plus
-    # this round's new ones) come first, r3-green flagships fill the rest
-    # of the top 50, and queries that are hash-green in BOTH r2 and r3
-    # sit in the tail — so whatever prefix the sampler takes, the union
-    # of rounds covers the whole surface.
+    # ORDERING IS DELIBERATE — the driver's CORRECTNESS sampler takes a
+    # PREFIX of this dict (exactly the first 50 in r3 and r4), so dict
+    # order is the verification-freshness lever. ROTATION RULE (r4
+    # verdict item 1): oldest-green-row-first, every round. New entries
+    # (no row at all) lead, then entries whose freshest green row is
+    # oldest, then last round's checked set at the tail; single-check
+    # entries sort before multi-round-green ones within a block. Keep
+    # the LAST_CHECKED blocks below honest when rotating.
     return {
-        # --- never driver-checked (r3 tail) + new this round ---
+        # --- LAST_CHECKED: never (new in r5) — inserted here as built ---
+        # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
+        "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "repetition_score": _q_repetition_score,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "link_extract_roundtrip": _q_link_extract_roundtrip,
+        "link_hosts": _q_link_hosts,
+        "link_nofollow": _q_link_nofollow,
+        "host_blocklist": _q_host_blocklist,
+        "host_quality_stats": _q_host_quality_stats,
+        "url_canonicalize": _q_url_canonicalize,
+        "collate_binpack": _q_collate_binpack,
+        "collate_binpack_bucketed": _q_collate_binpack_bucketed,
+        "group_combine": _q_group_combine,
+        "topk_per_user": _q_topk_per_user,
+        "windowed_events": _q_windowed_events,
+        "sessionize": _q_sessionize,
+        "session_windows": _q_session_windows,
+        "asof_prior_purchase": _q_asof_prior_purchase,
+        "pivot_event_counts": _q_pivot_event_counts,
+        "pricing_summary": _q_pricing_summary,
+        "orders_per_region": _q_orders_per_region,
+        "sample_deterministic": _q_sample_deterministic,
+        # --- LAST_CHECKED: r3 (dedup/fingerprint/scrub families) ---
+        "doc_fingerprints": _q_doc_fingerprints,
+        "winnow_overlap": _q_winnow_overlap,
+        "winnow_overlap_planted": _q_winnow_overlap_planted,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_reassembly": _q_cdc_reassembly,
+        "scrub_paragraph_dedup": _q_scrub_paragraph_dedup,
+        "scrub_redact_pii": _q_scrub_redact_pii,
+        "scrub_decontaminate": _q_scrub_decontaminate,
+        "scrub_normalize": _q_scrub_normalize,
+        # --- LAST_CHECKED: r4, single green row ever (checked once) ---
         "warc_roundtrip": _q_warc_roundtrip,
         "extract_pdf_cid_roundtrip": _q_extract_pdf_cid_roundtrip,
         "ann_brute_planted": _q_ann_brute_planted,
@@ -1686,7 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_discovery": _q_sitemap_discovery,
         "frontier_planted": _q_frontier_planted,
         "lm_score_planted": _q_lm_score_planted,
-        # --- extraction funnel (SURVEY §2 #1-#28 composed; r3-green) ---
+        # --- LAST_CHECKED: r4, multi-round green (freshest + deepest) ---
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_status_counts": _q_extract_status_counts,
         "extract_t0_full": _q_extract_t0_full,
@@ -1696,7 +1733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_kept_docs": _q_pipeline_kept_docs,
         "pipeline_kept_planted": _q_pipeline_kept_planted,
         "pipeline_curated_planted": _q_pipeline_curated_planted,
-        # --- dedup family ---
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1705,41 +1741,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_planted": _q_dedup_simhash_planted,
         "dedup_components": _q_dedup_components,
         "dedup_components_planted": _q_dedup_components_planted,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "winnow_overlap": _q_winnow_overlap,
-        "winnow_overlap_planted": _q_winnow_overlap_planted,
-        "cdc_chunks": _q_cdc_chunks,
-        "cdc_reassembly": _q_cdc_reassembly,
-        # --- corpus scrubbing ---
-        "scrub_paragraph_dedup": _q_scrub_paragraph_dedup,
-        "scrub_redact_pii": _q_scrub_redact_pii,
-        "scrub_decontaminate": _q_scrub_decontaminate,
-        "scrub_normalize": _q_scrub_normalize,
-        # --- tail: hash-green in BOTH r2 and r3 (or stable since r1) ---
-        "token_count": _q_token_count,
-        "token_count_bpe": _q_token_count_bpe,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "repetition_score": _q_repetition_score,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "link_extract_roundtrip": _q_link_extract_roundtrip,
-        "link_hosts": _q_link_hosts,
-        "link_nofollow": _q_link_nofollow,
-        "host_blocklist": _q_host_blocklist,
-        "host_quality_stats": _q_host_quality_stats,
-        "url_canonicalize": _q_url_canonicalize,
-        "collate_binpack": _q_collate_binpack,
-        "collate_binpack_bucketed": _q_collate_binpack_bucketed,
-        "group_combine": _q_group_combine,
-        "topk_per_user": _q_topk_per_user,
-        "windowed_events": _q_windowed_events,
-        "sessionize": _q_sessionize,
-        "session_windows": _q_session_windows,
-        "asof_prior_purchase": _q_asof_prior_purchase,
-        "pivot_event_counts": _q_pivot_event_counts,
-        "pricing_summary": _q_pricing_summary,
-        "orders_per_region": _q_orders_per_region,
-        "sample_deterministic": _q_sample_deterministic,
     }
 
 
