@@ -119,15 +119,36 @@ def _block_partials(corpus_sel: DataFrame, block: list, kk: int,
                 sims = np.vstack([sims_b, best_s])
                 nb = np.vstack([nb_b, best_n])
             take = min(kk, sims.shape[0])
-            # TOTAL order (score desc, neighbor asc), not argpartition:
-            # ties straddling the per-partition cutoff would otherwise
-            # survive arbitrarily, making the global result depend on
-            # partitioning (caught by the planted one-hot oracle, where
-            # zero-score ties are everywhere)
-            idx = np.lexsort((nb, -sims), axis=0)[:take]  # (take, nq)
             cols = np.arange(nq)[None, :]
-            best_s = sims[idx, cols]
-            best_n = nb[idx, cols]
+            if take == sims.shape[0]:
+                # nothing to cut — the whole stack survives
+                best_s, best_n = sims, nb
+                continue
+            # Fast path: argpartition picks the top-take SET per query
+            # (~3x cheaper than a full sort of the stack). The set is
+            # order-free here — the global window pass does the exact
+            # ranking — so it is correct EXCEPT when score ties straddle
+            # the cutoff: there the survivor choice must break by
+            # neighbor asc (the total order), which argpartition decides
+            # arbitrarily, making the result depend on partitioning
+            # (caught by the planted one-hot oracle, where zero-score
+            # ties are everywhere). Detect straddling ties per query —
+            # strictly more than `take` scores at-or-above the take-th
+            # value — and fall back to the exact lexsort total order
+            # (score desc, neighbor asc) for the batch. Real float
+            # embeddings essentially never tie across distinct vectors,
+            # so the bench path stays on argpartition; planted/duplicate
+            # corpora take the exact path and stay hash-identical.
+            part = np.argpartition(-sims, take - 1, axis=0)[:take]
+            cand_s = sims[part, cols]
+            thresh = cand_s.min(axis=0)  # the take-th best per query
+            if ((sims >= thresh[None, :]).sum(axis=0) > take).any():
+                idx = np.lexsort((nb, -sims), axis=0)[:take]  # (take, nq)
+                best_s = sims[idx, cols]
+                best_n = nb[idx, cols]
+            else:
+                best_s = cand_s
+                best_n = nb[part, cols]
         if best_s is None:
             return
         out_q = np.repeat(ids, best_s.shape[0])
