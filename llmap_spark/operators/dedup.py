@@ -50,15 +50,20 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     to one row per (partition, fingerprint), the same skew-safe shape
     scrub.dedup_paragraphs uses.
 
-    One md5 pass: the slim (id, fingerprint) projection is persisted
-    (registered with llmap_spark.cache, same contract as the LSH
-    signature frame) and feeds BOTH the winners aggregate and the
-    rep-assignment join — the earlier two-branch plan re-scanned and
-    re-hashed the full text column for the winners side (a second
-    full-corpus pass at 100 TB; 4.2x slower at sf0.1 in the r3 driver
-    bench). Wide input rows rejoin the thin (id, rep_id) verdict on the
-    id key — an equi-join AQE can skew-split, shuffling the fingerprint
-    exactly once in thin rows rather than attached to full-width rows.
+    One text pass for the winners side: the slim (id, fingerprint)
+    projection is persisted (registered with llmap_spark.cache, same
+    contract as the LSH signature frame) so the winners aggregate never
+    re-reads the text column — the earlier two-branch plan re-scanned
+    and re-hashed full text for the winners side (a second full-corpus
+    pass at 100 TB; 4.2x slower at sf0.1 in the r3 driver bench). Wide
+    input rows then join the winners frame DIRECTLY on the fingerprint
+    (recomputing md5 inline in the main scan — codegen'd JVM arithmetic,
+    no extra IO): one thin aggregate output against one full-width pass,
+    with no intermediate per-id verdict join (the r4 plan's extra stage,
+    ~10% of the bench time). A hot fingerprint skews this join's build
+    of full-width rows, which AQE's skew-join split handles (the winners
+    side is a single row per fingerprint, replicated to the splits);
+    the aggregate itself collapses hot groups map-side as before.
 
     NULL text -> NULL fingerprint = UNKNOWN content, never a duplicate:
     null keys drop out of the groupBy winners and never match the
@@ -67,9 +72,9 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
     CONTRACT: `id_col` must be a unique, non-null key (what a document id
     IS; min-per-fingerprint winners are meaningless otherwise). The
-    verdict re-attach is a LEFT join on that key, so a pathological
-    null-id row still survives (rep_id = its own null id, fingerprint
-    NULL) rather than silently dropping; duplicate ids would
+    winners join is LEFT, and NULL fingerprints never match a join key,
+    so a pathological null-id or null-text row still survives as its own
+    representative rather than silently dropping; duplicate ids would
     cross-attach verdicts and are the caller's bug."""
     from llmap_spark.cache import register_persisted
 
@@ -82,14 +87,9 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     winners = (slim.filter(F.col("fingerprint").isNotNull())
                .groupBy("fingerprint")
                .agg(F.min(id_col).alias("_rep")))
-    verdict = (
-        slim.join(winners, "fingerprint", "left")
-        .withColumn("rep_id", F.coalesce(F.col("_rep"), F.col(id_col)))
-        .select(id_col, "fingerprint", "rep_id")
-    )
     return (
-        df.join(verdict, [id_col], "left")
-        .withColumn("rep_id", F.coalesce(F.col("rep_id"), F.col(id_col)))
+        fingerprint(df, text_col).join(winners, ["fingerprint"], "left")
+        .withColumn("rep_id", F.coalesce(F.col("_rep"), F.col(id_col)))
         # coalesce: for a null-id row both sides are NULL and != yields
         # NULL, which filter(~is_dup) downstream (training.kept_documents)
         # would silently DROP — the survival contract says False

@@ -115,3 +115,72 @@ def test_ensure_parallelism_probe_detects_exchange(spark):
     assert "Exchange" in phys
     bare = spark.range(100)
     assert "Exchange" not in bare._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exact_dedup_skew_safety(spark):
+    """The pinned justification for exact_dedup's cost vs a window plan
+    (BENCH/BASELINE.md note): on a planted hot fingerprint (half the
+    corpus one duplicated boilerplate page), any plan that shuffles ROWS
+    by fingerprint — which a window over the fingerprint requires —
+    routes every hot row to ONE task (structural straggler), while
+    exact_dedup's groupBy winners collapse the hot group map-side and
+    the full-width join is AQE-skew-splittable. The wall-clock
+    comparison is best-of-2 and asserted only directionally (shared-VM
+    tolerant); the structural assert is exact."""
+    import time
+
+    from llmap_spark.operators.dedup import exact_dedup
+    from llmap_spark.operators.textstats import fingerprint
+    from pyspark.sql import Window, functions as F
+
+    # wide hot rows make the window task's buffer REAL (~2 KB x 360k =
+    # ~700 MB through one task); at 10^8-duplicate crawl scale that
+    # buffer is an OOM/spill, not a slowdown — the structural assert
+    # below is the scale claim, the timing is corroboration
+    n = 400_000
+    hot = int(n * 0.9)
+    wide = "hot duplicated boilerplate page body text segment " * 40
+    df = spark.range(n, numPartitions=8).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < hot, F.lit(wide))
+        .otherwise(F.concat(F.lit("unique page text number "),
+                            F.col("id").cast("string"))).alias("text"))
+
+    # correctness on the planted corpus
+    agg = exact_dedup(df).agg(
+        F.sum(F.col("is_dup").cast("int")).alias("d"),
+        F.count("*").alias("n")).collect()[0]
+    assert (agg.n, agg.d) == (n, hot - 1)
+
+    # structural: shuffling rows by fingerprint concentrates every hot
+    # row in ONE task — the straggler/buffer any window-over-fingerprint
+    # plan must carry, growing with the hottest group, while
+    # exact_dedup's winners aggregate input per task is bounded by
+    # distinct fingerprints per partition (map-side collapse)
+    loads = (fingerprint(df.select("doc_id", "text"))
+             .repartition(F.col("fingerprint"))
+             .groupBy(F.spark_partition_id().alias("pid")).count()
+             .collect())
+    assert max(r["count"] for r in loads) >= hot
+
+    def run(build):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        return best
+
+    def window_plan():
+        w = Window.partitionBy("fingerprint")
+        return (fingerprint(df)
+                .withColumn("rep_id", F.min("doc_id").over(w))
+                .withColumn("is_dup", F.col("doc_id") != F.col("rep_id")))
+
+    t_win = run(window_plan)
+    t_grp = run(lambda: exact_dedup(df))
+    # directional, shared-VM tolerant: measured 4.4s vs 3.5s best-of-2
+    # (1.27x) on this fixture; the gap is the hot task's serialized
+    # buffer drain, which only widens with corpus size and row width
+    assert t_grp <= t_win * 1.15, (t_grp, t_win)
