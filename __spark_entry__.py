@@ -578,6 +578,96 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
 
 
+# lang_id2's planted construction: one script-pure (or marker-pure)
+# snippet per supported language + an 'und' no-evidence case, cycled by
+# doc_id. Each snippet was validated against detect_language BEFORE the
+# oracle was generated (the planted-oracle discipline); the oracle SQL
+# is then generated FROM this table by running the single-process kernel
+# per snippet — the same local-kernel-as-oracle contract the extraction
+# roundtrips use, which makes the driver compare Spark's distributed
+# execution against the local kernel on every row.
+_LANGID_SNIPPETS: list[tuple[str, str]] = [
+    ("en", "the report and the data of the case that is ready for "
+           "review with notes"),
+    ("de", "der bericht und die daten das ist nicht mit ein problem"),
+    ("fr", "le rapport est dans une page que les notes pour des cas"),
+    ("es", "el informe por los datos con las notas para una causa está "
+           "aqui"),
+    ("it", "il rapporto che di per della pagina sono anche più note"),
+    ("pt", "não uma nota mais como são você também pelo caso"),
+    ("nl", "het rapport een van niet zijn voor aan ook nota"),
+    ("pl", "nie jest że ale jak tylko przez się strona"),
+    ("sv", "och att det som är för har inte sida"),
+    ("da", "og at er til ikke den har blev side"),
+    ("fi", "ja ei että mutta myös kun hän joka sivu"),
+    ("tr", "bir ve bu için ile olarak daha çok sayfa"),
+    ("id", "yang dan di untuk dengan tidak ini itu halaman"),
+    ("vi", "và của là có không được người trong trang"),
+    ("ro", "și este pentru care din nu cu mai pagina"),
+    ("cs", "je se na že ale jako pro tak strana"),
+    ("hu", "és hogy nem egy van meg már csak oldal"),
+    ("ru", "и в не на что это как по страница"),
+    ("uk", "і що це як та але від щоб сторінка"),
+    ("bg", "че това като към само след може беше страница"),
+    ("sr", "је су као него да за или био страна"),
+    ("ar", "في من على أن إلى عن هذا التي صفحة"),
+    ("fa", "که این است با را های برای آن صفحه"),
+    ("ur", "کے میں کی اور ہے سے کا نے صفحہ"),
+    ("zh", "这是一个测试页面的主要内容文字部分"),
+    ("ja", "これはテストページの主要な内容です"),
+    ("ko", "이것은 테스트 페이지의 주요 내용입니다"),
+    ("el", "αυτό είναι μια δοκιμαστική σελίδα με περιεχόμενο"),
+    ("th", "นี่คือหน้าทดสอบที่มีเนื้อหาหลัก"),
+    ("he", "זהו דף בדיקה עם תוכן עיקרי"),
+    ("hi", "यह मुख्य सामग्री वाला परीक्षण पृष्ठ है"),
+    ("bn", "এটি প্রধান বিষয়বস্তু সহ একটি পরীক্ষা পৃষ্ঠা"),
+    ("ta", "இது முக்கிய உள்ளடக்கம் கொண்ட சோதனை பக்கம்"),
+    ("ka", "ეს არის ტესტის გვერდი ძირითადი შინაარსით"),
+    ("hy", "սա փորձնական էջ է հիմնական բովանդակությամբ"),
+    ("und", "1234 5678 --- !!!"),
+]
+
+
+def _q_lang_id2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """26+-language identification (operators/langid.py: script-range
+    counting + marker-word argmax, shared total kernel), hash-verified by
+    the planted snippet cycle: text is REPLACED by the snippet for
+    language (doc_id % 36), so every (pred_lang, pred_script, n_letters)
+    row is a kernel-derived constant the generated oracle replays."""
+    from llmap_spark.operators.langid import lang_id2
+
+    n = len(_LANGID_SNIPPETS)
+    snips = F.array(*[F.lit(s) for _, s in _LANGID_SNIPPETS])
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.element_at(snips, (F.col("doc_id") % n + 1).cast("int"))
+        .alias("text"))
+    return lang_id2(d).select(
+        "doc_id", "pred_lang", "pred_script", "n_letters")
+
+
+def _langid_oracle_sql() -> str:
+    """CASE-constant oracle generated by running the single-process
+    kernel on each planted snippet (validated in tests/test_langid.py)."""
+    from llmap_spark.operators.langid import detect_language
+
+    n = len(_LANGID_SNIPPETS)
+    lang_arms, script_arms, nlet_arms = [], [], []
+    for i, (_, snip) in enumerate(_LANGID_SNIPPETS):
+        lang, script, nlet = detect_language(snip)
+        lang_arms.append(f"WHEN {i} THEN '{lang}'")
+        script_arms.append(f"WHEN {i} THEN '{script}'")
+        nlet_arms.append(f"WHEN {i} THEN {nlet}")
+    return f"""
+        SELECT doc_id,
+          CASE doc_id % {n} {' '.join(lang_arms)} END AS pred_lang,
+          CASE doc_id % {n} {' '.join(script_arms)} END AS pred_script,
+          CAST(CASE doc_id % {n} {' '.join(nlet_arms)} END AS int)
+            AS n_letters
+        FROM documents
+    """
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.textstats import quality_features
 
@@ -1654,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the LAST_CHECKED blocks below honest when rotating.
     return {
         # --- LAST_CHECKED: never (new in r5) — inserted here as built ---
+        "lang_id2": _q_lang_id2,
         # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -3058,6 +3149,7 @@ def oracle_sql() -> dict[str, str]:
     # by page_i (bijective with url; the url host is seeded-RNG
     # decoration no SQL can derive). Edge pages take lang from the
     # wrapped doc (corpus.py: lang = langs[i % ndocs]).
+    d["lang_id2"] = _langid_oracle_sql()
     d["extract_full"] = f"""
         WITH n AS (SELECT count(*) AS ndocs FROM documents)
         SELECT page_i, lang, extracted_text, n_blocks_kept,

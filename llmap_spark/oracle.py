@@ -11,6 +11,7 @@ CLI:
     python -m llmap_spark.oracle extract <file.html|file.pdf> [...]
     python -m llmap_spark.oracle status  <file.html|file.pdf> [...]
     python -m llmap_spark.oracle meta    <file.png|gif|jpg|wav|...> [...]
+    python -m llmap_spark.oracle lang    <file.txt> [...]
 """
 
 from __future__ import annotations
@@ -68,7 +69,8 @@ def _dispatch(payload: bytes):
 
 
 def main(argv: list[str]) -> int:
-    if len(argv) < 2 or argv[0] not in {"blocks", "extract", "status", "meta"}:
+    if len(argv) < 2 or argv[0] not in {"blocks", "extract", "status",
+                                        "meta", "lang"}:
         print(__doc__, file=sys.stderr)
         return 2
     cmd, files = argv[0], argv[1:]
@@ -90,6 +92,12 @@ def main(argv: list[str]) -> int:
         elif cmd == "extract":
             r = _dispatch(html)
             print(r.extracted_text)
+        elif cmd == "lang":
+            from llmap_spark.operators.langid import detect_language
+
+            lang, script, n = detect_language(
+                html.decode("utf-8", errors="replace"))
+            print(f"{f}\t{lang}\tscript={script}\tletters={n}")
         elif cmd == "meta":
             from llmap_spark.media_meta import parse_media_meta
 
