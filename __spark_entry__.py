@@ -668,6 +668,49 @@ def _langid_oracle_sql() -> str:
     """
 
 
+def _q_substring_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring dedup (operators/substrings.py:
+    positional L-gram reduction of the Lee-et-al suffix-array family;
+    equivalence to a real suffix-array+LCP oracle pinned in
+    tests/test_substrings.py), hash-verified by a planted construction
+    whose coverage is pure arithmetic — validated against the pure-python
+    suffix-array oracle for doc_ids 0..47 BEFORE this SQL was written:
+
+      doc_id%3==0  whole-doc shared block per family doc_id%12 (62
+                   chars, md5-unit x7): fully covered -> 1 span, 62 dup
+                   chars, trimmed ''.
+      doc_id%3==1  doc-unique 40-char u repeated: 'u u' -> spans [0,40)
+                   and [41,81) (the separator space survives: grams
+                   straddling it occur once) -> 2 spans, 80 dup chars,
+                   trimmed ' '.
+      doc_id%3==2  two distinct md5 hexes: nothing >=20 chars repeats
+                   -> 0 spans, text unchanged.
+
+    Cross-case bleed is md5-improbable (a >=20-char collision between
+    independent digests). The real corpus text is REPLACED by the
+    construction so every output cell is engine-portable arithmetic."""
+    from llmap_spark.operators.substrings import substring_dedup
+
+    ds = F.col("doc_id").cast("string")
+    unit = F.substring(F.md5(F.encode(
+        F.concat(F.lit("sdp-shared-"),
+                 (F.col("doc_id") % 12).cast("string")), "UTF-8")), 1, 8)
+    shared = F.concat(unit, F.repeat(F.concat(F.lit(" "), unit), 6))
+    u = F.concat(F.md5(F.encode(ds, "UTF-8")),
+                 F.substring(F.md5(F.encode(F.concat(ds, F.lit("x")),
+                                            "UTF-8")), 1, 8))
+    uniq = F.concat(F.md5(F.encode(F.concat(ds, F.lit("a")), "UTF-8")),
+                    F.lit(" "),
+                    F.md5(F.encode(F.concat(ds, F.lit("b")), "UTF-8")))
+    text = (F.when(F.col("doc_id") % 3 == 0, shared)
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(u, F.lit(" "), u))
+            .otherwise(uniq))
+    d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return substring_dedup(d, min_len=20).select(
+        "doc_id", "n_spans", "n_dup_chars", "text_deduped")
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.textstats import quality_features
 
@@ -1745,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- LAST_CHECKED: never (new in r5) — inserted here as built ---
         "lang_id2": _q_lang_id2,
+        "substring_dedup_planted": _q_substring_dedup_planted,
         # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -3150,6 +3194,23 @@ def oracle_sql() -> dict[str, str]:
     # decoration no SQL can derive). Edge pages take lang from the
     # wrapped doc (corpus.py: lang = langs[i % ndocs]).
     d["lang_id2"] = _langid_oracle_sql()
+    d["substring_dedup_planted"] = """
+        -- arithmetic replay of the planted construction (see the query
+        -- docstring; derivation validated against the pure-python
+        -- suffix-array oracle before this SQL was written)
+        SELECT doc_id,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+               ELSE 0 END AS int) AS n_spans,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 62 WHEN 1 THEN 80
+               ELSE 0 END AS int) AS n_dup_chars,
+          CASE doc_id % 3
+            WHEN 0 THEN ''
+            WHEN 1 THEN ' '
+            ELSE md5(CAST(doc_id AS VARCHAR) || 'a') || ' '
+                 || md5(CAST(doc_id AS VARCHAR) || 'b')
+          END AS text_deduped
+        FROM documents
+    """
     d["extract_full"] = f"""
         WITH n AS (SELECT count(*) AS ndocs FROM documents)
         SELECT page_i, lang, extracted_text, n_blocks_kept,
