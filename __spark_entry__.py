@@ -1453,7 +1453,58 @@ def _q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf_["doc_id"], "payload": payloads})
 
     payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
-    return with_media_meta(payloads, "payload", keep_cols=("doc_id",))
+    # pin the pre-r5 column set: the r5 orientation column lives in
+    # multimodal_image_meta2 (below), keeping this oracle stable
+    return with_media_meta(payloads, "payload", keep_cols=("doc_id",)) \
+        .select("doc_id", "kind", "width", "height", "bit_depth",
+                "sample_rate", "channels", "duration_ms")
+
+
+def _q_multimodal_image_meta2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r5 image-container legs, driver-verified the same way as
+    multimodal_image_meta: WebP (all three chunk layouts: VP8 lossy
+    sync-coded 14-bit dims, VP8L signature-packed dims, VP8X 24-bit
+    canvas), TIFF (both byte orders, IFD-walked dims/bits/orientation)
+    and JPEG carrying an APP1/Exif TIFF stream (orientation tag 274).
+    Every planted value is doc_id arithmetic the oracle replays;
+    orientation is NULL for the WebP rows (doc_id leads the sort tuple,
+    so the mixed column is compare-safe)."""
+    import pandas as pd
+
+    from llmap_spark.media_meta import (make_jpeg_exif, make_tiff,
+                                        make_webp, with_media_meta)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf_ in batches:
+            payloads = []
+            for d in pdf_["doc_id"]:
+                d = int(d)
+                w, h = 1 + d % 800, 1 + d % 600
+                k = d % 6
+                if k == 0:
+                    p = make_webp(w, h, "vp8")
+                elif k == 1:
+                    p = make_webp(w, h, "vp8l")
+                elif k == 2:
+                    p = make_webp(w, h, "vp8x")
+                elif k == 3:
+                    p = make_tiff(w, h, 8 * (1 + d % 2), 1 + d % 8,
+                                  little_endian=True)
+                elif k == 4:
+                    p = make_tiff(w, h, 8 * (1 + d % 2), 1 + d % 8,
+                                  little_endian=False)
+                else:
+                    p = make_jpeg_exif(w, h, 1 + d % 8)
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf_["doc_id"],
+                                "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return with_media_meta(payloads, "payload", keep_cols=("doc_id",)) \
+        .select("doc_id", "kind", "width", "height", "bit_depth",
+                "orientation")
 
 
 def _q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1789,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LAST_CHECKED: never (new in r5) — inserted here as built ---
         "lang_id2": _q_lang_id2,
         "substring_dedup_planted": _q_substring_dedup_planted,
+        "multimodal_image_meta2": _q_multimodal_image_meta2,
         # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -3194,6 +3246,22 @@ def oracle_sql() -> dict[str, str]:
     # decoration no SQL can derive). Edge pages take lang from the
     # wrapped doc (corpus.py: lang = langs[i % ndocs]).
     d["lang_id2"] = _langid_oracle_sql()
+    d["multimodal_image_meta2"] = """
+        -- planted WebP/TIFF/JPEG-EXIF arithmetic (see the query
+        -- docstring): k=0..2 WebP variants (8-bit by format, no
+        -- orientation), k=3..4 TIFF LE/BE, k=5 JPEG+Exif
+        SELECT doc_id,
+          CASE WHEN doc_id % 6 <= 2 THEN 'image/webp'
+               WHEN doc_id % 6 <= 4 THEN 'image/tiff'
+               ELSE 'image/jpeg' END AS kind,
+          CAST(1 + doc_id % 800 AS int) AS width,
+          CAST(1 + doc_id % 600 AS int) AS height,
+          CAST(CASE WHEN doc_id % 6 IN (3, 4) THEN 8 * (1 + doc_id % 2)
+               ELSE 8 END AS int) AS bit_depth,
+          CAST(CASE WHEN doc_id % 6 <= 2 THEN NULL
+               ELSE 1 + doc_id % 8 END AS int) AS orientation
+        FROM documents
+    """
     d["substring_dedup_planted"] = """
         -- arithmetic replay of the planted construction (see the query
         -- docstring; derivation validated against the pure-python

@@ -47,6 +47,7 @@ def main() -> int:
     from llmap_spark.operators.textstats import (fingerprint, lang_id,
                                                  quality_features)
     from llmap_spark.plans.pipeline import ExtractConfig, extract
+    from llmap_spark.plans.training import curated_corpus
     import __spark_entry__ as entry
 
     from llmap_spark.session import ensure_parallelism
@@ -104,6 +105,12 @@ def main() -> int:
         # the composed curation chain (quality -> dedup -> LSH -> CC)
         ("pipeline_kept_docs", lambda: noop(
             entry._q_pipeline_kept_docs(spark, sf_dir))),
+        # the ACTUAL deliverable: keep-list -> decontaminate -> paragraph
+        # dedup -> PII redact (r4 verdict item 6 — its cost is now
+        # visible round-over-round, not just the keep-list's)
+        ("pipeline_curated", lambda: noop(curated_corpus(
+            docs, benchmark=docs.filter(F.col("doc_id") % 97 == 0)
+            .select("text")))),
     ]
 
     # warmup (untimed): python workers + codegen + shuffle spin-up, so the

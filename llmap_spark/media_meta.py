@@ -1,7 +1,7 @@
-"""Stdlib-only media header metadata: PNG / GIF / JPEG dimensions + bit
-depth, WAV / FLAC / MP3 sample rate / channels / bits, MP4 (ISO-BMFF)
-track dimensions + duration — parsed from container headers, no codec
-library.
+"""Stdlib-only media header metadata: PNG / GIF / JPEG / WebP
+(VP8|VP8L|VP8X) / TIFF dimensions + bit depth + EXIF orientation,
+WAV / FLAC / MP3 sample rate / channels / bits, MP4 (ISO-BMFF) track
+dimensions + duration — parsed from container headers, no codec library.
 
 Replaces the round-1 byte-histogram stand-in as the *metadata* half of the
 multimodal story: full pixel/sample decode still needs codec libs (the
@@ -25,7 +25,8 @@ import zlib
 from typing import NamedTuple
 
 MEDIA_META_SCHEMA = ("kind string, width int, height int, bit_depth int, "
-                     "sample_rate int, channels int, duration_ms int")
+                     "sample_rate int, channels int, duration_ms int, "
+                     "orientation int")
 
 # JPEG start-of-frame markers (C0-CF minus DHT C4, JPG C8, DAC CC)
 _SOF_MARKERS = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
@@ -40,6 +41,10 @@ class MediaMeta(NamedTuple):
     sample_rate: int | None
     channels: int | None
     duration_ms: int | None
+    # EXIF/TIFF tag 274 (1..8); defaulted so the audio/video legs'
+    # positional constructions stay valid — only TIFF and JPEG-with-EXIF
+    # populate it
+    orientation: int | None = None
 
 
 _NULL = MediaMeta(None, None, None, None, None, None, None)
@@ -62,8 +67,54 @@ def _gif(b: bytes) -> MediaMeta:
     return MediaMeta("image/gif", w, h, depth, None, None, None)
 
 
+def _tiff_tags(t: bytes) -> dict[int, int]:
+    """First-IFD tag values of a TIFF byte stream (both endiannesses).
+    Handles inline SHORT/LONG/BYTE values and offset-stored SHORT arrays
+    (BitsPerSample per-channel lists — first element taken). Total:
+    malformed offsets/counts stop the walk with what was read."""
+    if len(t) < 8:
+        return {}
+    if t[:4] == b"II*\x00":
+        e = "little"
+    elif t[:4] == b"MM\x00*":
+        e = "big"
+    else:
+        return {}
+    out: dict[int, int] = {}
+    off = int.from_bytes(t[4:8], e)
+    if off + 2 > len(t):
+        return out
+    n = int.from_bytes(t[off:off + 2], e)
+    for i in range(min(n, 256)):
+        p = off + 2 + 12 * i
+        if p + 12 > len(t):
+            break
+        tag = int.from_bytes(t[p:p + 2], e)
+        typ = int.from_bytes(t[p + 2:p + 4], e)
+        cnt = int.from_bytes(t[p + 4:p + 8], e)
+        if typ == 3:  # SHORT: left-justified inline when it fits
+            if cnt == 1:
+                out[tag] = int.from_bytes(t[p + 8:p + 10], e)
+            else:
+                voff = int.from_bytes(t[p + 8:p + 12], e)
+                if voff + 2 <= len(t):
+                    out[tag] = int.from_bytes(t[voff:voff + 2], e)
+        elif typ == 4 and cnt == 1:  # LONG
+            out[tag] = int.from_bytes(t[p + 8:p + 12], e)
+        elif typ == 1 and cnt == 1:  # BYTE
+            out[tag] = t[p + 8]
+    return out
+
+
+def _tiff(b: bytes) -> MediaMeta:
+    tags = _tiff_tags(b)
+    return MediaMeta("image/tiff", tags.get(256), tags.get(257),
+                     tags.get(258), None, None, None, tags.get(274))
+
+
 def _jpeg(b: bytes) -> MediaMeta:
     i, n = 2, len(b)
+    orientation = None
     while i + 1 < n:
         if b[i] != 0xFF:
             break
@@ -77,17 +128,52 @@ def _jpeg(b: bytes) -> MediaMeta:
         if i + 4 > n:
             break
         seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+        if (marker == 0xE1 and seg_len >= 8
+                and b[i + 4:i + 10] == b"Exif\x00\x00"):
+            # APP1/Exif: a TIFF stream whose IFD offsets are relative to
+            # its own start — slice it out and reuse the TIFF walker
+            orientation = _tiff_tags(
+                b[i + 10:i + 2 + seg_len]).get(274, orientation)
         if marker in _SOF_MARKERS:
             if i + 9 > n:
                 break
             precision = b[i + 4]
             h = int.from_bytes(b[i + 5:i + 7], "big")
             w = int.from_bytes(b[i + 7:i + 9], "big")
-            return MediaMeta("image/jpeg", w, h, precision, None, None, None)
+            return MediaMeta("image/jpeg", w, h, precision, None, None,
+                             None, orientation)
         if seg_len < 2:
             break
         i += 2 + seg_len
-    return MediaMeta("image/jpeg", None, None, None, None, None, None)
+    return MediaMeta("image/jpeg", None, None, None, None, None, None,
+                     orientation)
+
+
+def _webp(b: bytes) -> MediaMeta:
+    """RIFF/WEBP: dimensions from the first VP8 (lossy key-frame
+    header), VP8L (lossless signature bits) or VP8X (extended canvas)
+    chunk. WebP is 8-bit-per-channel by format, so bit_depth is 8
+    whenever dimensions parse."""
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        cid = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "little")
+        p = b[i + 8:i + 8 + size]
+        if cid == b"VP8 " and len(p) >= 10 and p[3:6] == b"\x9d\x01\x2a":
+            w = int.from_bytes(p[6:8], "little") & 0x3FFF
+            h = int.from_bytes(p[8:10], "little") & 0x3FFF
+            return MediaMeta("image/webp", w, h, 8, None, None, None)
+        if cid == b"VP8L" and len(p) >= 5 and p[0] == 0x2F:
+            bits = int.from_bytes(p[1:5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return MediaMeta("image/webp", w, h, 8, None, None, None)
+        if cid == b"VP8X" and len(p) >= 10:
+            w = int.from_bytes(p[4:7], "little") + 1
+            h = int.from_bytes(p[7:10], "little") + 1
+            return MediaMeta("image/webp", w, h, 8, None, None, None)
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    return MediaMeta("image/webp", None, None, None, None, None, None)
 
 
 def _wav(b: bytes) -> MediaMeta:
@@ -229,6 +315,10 @@ def parse_media_meta(payload: bytes | None) -> MediaMeta:
             return _jpeg(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _wav(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            return _webp(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return _tiff(payload)
         if len(payload) >= 12 and payload[4:8] == b"ftyp":
             return _mp4(payload)
         if payload[:4] == b"fLaC":
@@ -354,3 +444,64 @@ def make_mp3(sample_rate_idx: int = 0, bitrate_idx: int = 9,
     h4 = (3 << 6) if mono else 0                  # mono vs stereo
     frame = bytes([h1, h2, h3, h4]) + b"\x00" * max(0, n_audio_bytes - 4)
     return id3 + frame
+
+
+def make_webp(width: int, height: int, variant: str = "vp8") -> bytes:
+    """Minimal RIFF/WEBP with the planted dimensions in a VP8 (lossy),
+    VP8L (lossless) or VP8X (extended) chunk. Deterministic; dimensions
+    must fit the format's field widths (14 bits for vp8/vp8l, 24 for
+    vp8x)."""
+    if variant == "vp8":
+        cid = b"VP8 "
+        p = (b"\x30\x01\x00" + b"\x9d\x01\x2a"
+             + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF))
+    elif variant == "vp8l":
+        cid = b"VP8L"
+        p = b"\x2f" + struct.pack(
+            "<I", (width - 1) | ((height - 1) << 14))
+    elif variant == "vp8x":
+        cid = b"VP8X"
+        p = (b"\x00" + b"\x00" * 3
+             + (width - 1).to_bytes(3, "little")
+             + (height - 1).to_bytes(3, "little"))
+    else:
+        raise ValueError(f"unknown webp variant {variant!r}")
+    chunk = cid + struct.pack("<I", len(p)) + p
+    if len(p) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _tiff_stream(width: int, height: int, bits: int, orientation: int,
+                 little_endian: bool) -> bytes:
+    e = "little" if little_endian else "big"
+
+    def short_entry(tag: int, v: int) -> bytes:
+        # SHORT count=1: value left-justified in the 4-byte field
+        return (tag.to_bytes(2, e) + (3).to_bytes(2, e)
+                + (1).to_bytes(4, e) + v.to_bytes(2, e) + b"\x00\x00")
+
+    entries = (short_entry(256, width) + short_entry(257, height)
+               + short_entry(258, bits) + short_entry(274, orientation))
+    return ((b"II*\x00" if little_endian else b"MM\x00*")
+            + (8).to_bytes(4, e)          # IFD at byte 8
+            + (4).to_bytes(2, e) + entries
+            + (0).to_bytes(4, e))         # no next IFD
+
+
+def make_tiff(width: int, height: int, bits: int = 8, orientation: int = 1,
+              little_endian: bool = True) -> bytes:
+    """Minimal single-IFD TIFF (both byte orders) with planted
+    ImageWidth/ImageLength/BitsPerSample/Orientation. Deterministic."""
+    return _tiff_stream(width, height, bits, orientation, little_endian)
+
+
+def make_jpeg_exif(width: int, height: int, orientation: int,
+                   precision: int = 8) -> bytes:
+    """make_jpeg plus an APP1/Exif segment carrying the planted TIFF
+    orientation tag — the common crawl-photo shape."""
+    tiff = _tiff_stream(width, height, 0, orientation, little_endian=False)
+    exif = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(exif)) + exif
+    base = make_jpeg(width, height, precision)
+    return base[:2] + app1 + base[2:]

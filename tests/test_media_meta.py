@@ -15,7 +15,7 @@ from llmap_spark import media_meta as mm
                                    (65535, 1, 2)])
 def test_png_roundtrip(w, h, d):
     got = mm.parse_media_meta(mm.make_png(w, h, d))
-    assert got == ("image/png", w, h, d, None, None, None)
+    assert got == ("image/png", w, h, d, None, None, None, None)
 
 
 def test_png_is_fully_valid():
@@ -38,20 +38,20 @@ def test_png_is_fully_valid():
 @pytest.mark.parametrize("w,h,d", [(1, 1, 1), (99, 77, 5), (65535, 65535, 8)])
 def test_gif_roundtrip(w, h, d):
     assert mm.parse_media_meta(mm.make_gif(w, h, d)) == (
-        "image/gif", w, h, d, None, None, None)
+        "image/gif", w, h, d, None, None, None, None)
 
 
 @pytest.mark.parametrize("w,h,p", [(1, 1, 8), (1024, 768, 8), (400, 300, 12)])
 def test_jpeg_roundtrip(w, h, p):
     assert mm.parse_media_meta(mm.make_jpeg(w, h, p)) == (
-        "image/jpeg", w, h, p, None, None, None)
+        "image/jpeg", w, h, p, None, None, None, None)
 
 
 @pytest.mark.parametrize("sr,ch,bits", [(8000, 1, 8), (44100, 2, 16),
                                         (48000, 2, 24)])
 def test_wav_roundtrip(sr, ch, bits):
     assert mm.parse_media_meta(mm.make_wav(sr, ch, bits)) == (
-        "audio/wav", None, None, bits, sr, ch, None)
+        "audio/wav", None, None, bits, sr, ch, None, None)
 
 
 def test_corrupt_headers_give_nulls_not_exceptions():
@@ -60,13 +60,13 @@ def test_corrupt_headers_give_nulls_not_exceptions():
     assert mm.parse_media_meta(b"\x00" * 40) == mm._NULL
     # right magic, truncated body: kind survives, dims null
     assert mm.parse_media_meta(b"\x89PNG\r\n\x1a\n\x00\x00") == (
-        "image/png", None, None, None, None, None, None)
+        "image/png", None, None, None, None, None, None, None)
     assert mm.parse_media_meta(b"GIF89a\x01") == (
-        "image/gif", None, None, None, None, None, None)
+        "image/gif", None, None, None, None, None, None, None)
     assert mm.parse_media_meta(b"\xff\xd8\xff\xff") == (
-        "image/jpeg", None, None, None, None, None, None)
+        "image/jpeg", None, None, None, None, None, None, None)
     assert mm.parse_media_meta(b"RIFF\x00\x00\x00\x00WAVEjunk") == (
-        "audio/wav", None, None, None, None, None, None)
+        "audio/wav", None, None, None, None, None, None, None)
 
 
 def test_jpeg_skips_leading_segments():
@@ -74,7 +74,7 @@ def test_jpeg_skips_leading_segments():
     com = b"\xff\xfe" + (5).to_bytes(2, "big") + b"abc"
     b = mm.make_jpeg(55, 44, 8)
     with_com = b[:2] + com + b[2:]
-    assert mm.parse_media_meta(with_com) == ("image/jpeg", 55, 44, 8, None, None, None)
+    assert mm.parse_media_meta(with_com) == ("image/jpeg", 55, 44, 8, None, None, None, None)
 
 
 @settings(max_examples=200, deadline=None)
@@ -112,14 +112,14 @@ def test_jpeg_fill_bytes_before_markers():
     # markers may be padded with any number of 0xFF fill bytes
     b = mm.make_jpeg(640, 480)
     padded = b[:2] + b"\xff\xff\xff" + b[2:]
-    assert mm.parse_media_meta(padded) == ("image/jpeg", 640, 480, 8, None, None, None)
+    assert mm.parse_media_meta(padded) == ("image/jpeg", 640, 480, 8, None, None, None, None)
 
 
 @pytest.mark.parametrize("w,h,ms", [(1, 1, 1), (640, 360, 12345),
                                     (1920, 1080, 2**31 - 1), (16, 9, 0)])
 def test_mp4_roundtrip(w, h, ms):
     assert mm.parse_media_meta(mm.make_mp4(w, h, ms)) == (
-        "video/mp4", w, h, None, None, None, ms)
+        "video/mp4", w, h, None, None, None, ms, None)
 
 
 def test_mp4_version1_and_largesize_boxes():
@@ -138,7 +138,7 @@ def test_mp4_version1_and_largesize_boxes():
     moov = box(b"moov", box(b"mvhd", mvhd1) + box(b"trak", box(b"tkhd", tkhd1)))
     ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00")
     got = mm.parse_media_meta(ftyp + moov)
-    assert got == ("video/mp4", 320, 240, None, None, None, 7000)
+    assert got == ("video/mp4", 320, 240, None, None, None, 7000, None)
     # 64-bit largesize framing of moov: size field 1 + 8-byte size
     large_moov = (struct.pack(">I", 1) + b"moov"
                   + struct.pack(">Q", 16 + len(moov) - 8) + moov[8:])
@@ -147,9 +147,9 @@ def test_mp4_version1_and_largesize_boxes():
 
 def test_mp4_totality_on_garbage():
     assert mm.parse_media_meta(b"\x00\x00\x00\x0cftypisom") == (
-        "video/mp4", None, None, None, None, None, None)
+        "video/mp4", None, None, None, None, None, None, None)
     # 8-byte input is below the 12-byte sniff minimum: unrecognized
-    assert mm.parse_media_meta(b"\x00\x00\x00\x08ftyp") == (None,) * 7
+    assert mm.parse_media_meta(b"\x00\x00\x00\x08ftyp") == (None,) * 8
     trunc = mm.make_mp4(64, 64, 5000)[:40]
     got = mm.parse_media_meta(trunc)
     assert got.kind == "video/mp4"  # never raises on truncation
@@ -188,14 +188,14 @@ def test_resize_plan_shapes_and_totality(spark):
 def test_flac_roundtrip(sr, ch, bits, total):
     got = mm.parse_media_meta(mm.make_flac(sr, ch, bits, total))
     assert got == ("audio/flac", None, None, bits, sr, ch,
-                   total * 1000 // sr)
+                   total * 1000 // sr, None)
 
 
 def test_mp3_roundtrip_and_duration_estimate():
     got = mm.parse_media_meta(mm.make_mp3(1, 14, 8000, mono=True))
     # idx 1 -> 48000 Hz, idx 14 -> 320 kbps; 8000 audio bytes
     assert got == ("audio/mpeg", None, None, None, 48000, 1,
-                   8000 * 8 // 320)
+                   8000 * 8 // 320, None)
     # bare frame without ID3 tag also sniffs
     bare = mm.make_mp3(0, 9, 100)[10:]
     assert mm.parse_media_meta(bare).sample_rate == 44100
@@ -203,9 +203,72 @@ def test_mp3_roundtrip_and_duration_estimate():
 
 def test_flac_mp3_totality():
     assert mm.parse_media_meta(b"fLaC") == (
-        "audio/flac", None, None, None, None, None, None)
+        "audio/flac", None, None, None, None, None, None, None)
     assert mm.parse_media_meta(b"ID3" + b"\x00" * 7) == (
-        "audio/mpeg", None, None, None, None, None, None)
+        "audio/mpeg", None, None, None, None, None, None, None)
     # free-format bitrate (idx 0) and reserved rate give nulls, not junk
     weird = mm.make_mp3(0, 0, 100)
     assert mm.parse_media_meta(weird).duration_ms is None
+
+
+@given(st.integers(1, 16383), st.integers(1, 16383),
+       st.sampled_from(["vp8", "vp8l", "vp8x"]))
+@settings(max_examples=60, deadline=None)
+def test_webp_roundtrip(w, h, variant):
+    got = mm.parse_media_meta(mm.make_webp(w, h, variant))
+    assert (got.kind, got.width, got.height, got.bit_depth) == (
+        "image/webp", w, h, 8)
+    assert got.orientation is None
+
+
+def test_webp_vp8x_24bit_canvas():
+    got = mm.parse_media_meta(mm.make_webp(100_000, 70_000, "vp8x"))
+    assert (got.width, got.height) == (100_000, 70_000)
+
+
+@given(st.integers(1, 65535), st.integers(1, 65535),
+       st.sampled_from([1, 8, 16]), st.integers(1, 8), st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_tiff_roundtrip(w, h, bits, orient, le):
+    got = mm.parse_media_meta(mm.make_tiff(w, h, bits, orient, le))
+    assert (got.kind, got.width, got.height, got.bit_depth,
+            got.orientation) == ("image/tiff", w, h, bits, orient)
+
+
+def test_tiff_offset_stored_bits_per_sample():
+    """A 3-channel BitsPerSample (count>1 -> offset-stored SHORT array)
+    reads its first element, the common RGB shape."""
+    e = "little"
+    def short_entry(tag, typ, cnt, val4):
+        return (tag.to_bytes(2, e) + typ.to_bytes(2, e)
+                + cnt.to_bytes(4, e) + val4)
+    # IFD at 8 with 2 entries; bits array appears after the IFD
+    bits_off = 8 + 2 + 2 * 12 + 4
+    ifd = ((2).to_bytes(2, e)
+           + short_entry(256, 3, 1, (640).to_bytes(2, e) + b"\x00\x00")
+           + short_entry(258, 3, 3, bits_off.to_bytes(4, e))
+           + (0).to_bytes(4, e))
+    data = (b"II*\x00" + (8).to_bytes(4, e) + ifd
+            + (8).to_bytes(2, e) * 3)
+    got = mm.parse_media_meta(data)
+    assert (got.kind, got.width, got.bit_depth) == ("image/tiff", 640, 8)
+
+
+def test_jpeg_exif_orientation_roundtrip():
+    for orient in range(1, 9):
+        got = mm.parse_media_meta(mm.make_jpeg_exif(320, 240, orient))
+        assert (got.kind, got.width, got.height, got.orientation) == (
+            "image/jpeg", 320, 240, orient)
+    # plain JPEG keeps a NULL orientation
+    assert mm.parse_media_meta(mm.make_jpeg(320, 240)).orientation is None
+
+
+def test_new_legs_total_on_truncation():
+    for maker in (lambda: mm.make_webp(99, 77, "vp8"),
+                  lambda: mm.make_webp(99, 77, "vp8l"),
+                  lambda: mm.make_tiff(99, 77),
+                  lambda: mm.make_jpeg_exif(99, 77, 5)):
+        full = maker()
+        for cut in range(0, len(full), 3):
+            mm.parse_media_meta(full[:cut])  # must not raise
+        mm.parse_media_meta(full + b"\x00" * 7)
