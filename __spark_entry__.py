@@ -545,6 +545,49 @@ def _q_frontier_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def _q_frontier_iterative_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATIVE frontier driver (sources/sitemap.py expand_frontier:
+    bounded multi-round index-following with visited anti-join and
+    per-round checkpoints), hash-verified on a planted 2-level sitemap
+    tree whose closure is doc_id arithmetic: doc d's root index lists
+    children c in 0..d%2; child c's urlset lists pages u in
+    1..1+(d+c)%2. So every doc yields page (c0,u1); odd docs add
+    (c0,u2) and (c1,u1) — all discovered in round 2 with their child
+    sitemap as src_loc. The fetch seam is deterministic JVM body
+    synthesis keyed on the loc (the same planted-XML technique as
+    frontier_planted)."""
+    from llmap_spark.sources.sitemap import expand_frontier
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    seeds = docs.select(F.expr(
+        "concat('https://s', cast(doc_id as string), "
+        "'.example/sitemap.xml')").alias("loc"))
+
+    def fetch(frontier: DataFrame) -> DataFrame:
+        d = "cast(regexp_extract(loc, 'https://s(\\\\d+)\\\\.example', 1) as bigint)"
+        c = "cast(regexp_extract(loc, 'child(\\\\d+)\\\\.xml', 1) as bigint)"
+        body = F.expr(
+            f"cast(CASE WHEN loc LIKE '%/sitemap.xml' THEN "
+            f"concat('<sitemapindex>', array_join(transform("
+            f"sequence(0, {d} % 2), c -> concat("
+            f"'<sitemap><loc>https://s', cast({d} as string), "
+            f"'.example/child', cast(c as string), '.xml</loc></sitemap>'"
+            f")), ''), '</sitemapindex>') "
+            f"ELSE concat('<urlset>', array_join(transform("
+            f"sequence(1, 1 + ({d} + {c}) % 2), u -> concat("
+            f"'<url><loc>https://s', cast({d} as string), "
+            f"'.example/page-c', cast({c} as string), '-u', "
+            f"cast(u as string), '</loc></url>')), ''), '</urlset>') "
+            f"END as binary)")
+        return frontier.withColumn("body", body)
+
+    out = expand_frontier(seeds, fetch, max_rounds=4)
+    return out.select(
+        F.regexp_extract("src_loc", r"https://s(\d+)\.example", 1)
+        .cast("long").alias("doc_id"),
+        F.col("loc").alias("url"), "src_loc", "round")
+
+
 def _q_lm_score_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet-style char-trigram LM quality scorer (operators/lm.py),
     hash-verified: the model table is planted ({'aba': 1500, 'bab': 2500}
@@ -1841,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id2": _q_lang_id2,
         "substring_dedup_planted": _q_substring_dedup_planted,
         "multimodal_image_meta2": _q_multimodal_image_meta2,
+        "frontier_iterative_planted": _q_frontier_iterative_planted,
         # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -3246,6 +3290,30 @@ def oracle_sql() -> dict[str, str]:
     # decoration no SQL can derive). Edge pages take lang from the
     # wrapped doc (corpus.py: lang = langs[i % ndocs]).
     d["lang_id2"] = _langid_oracle_sql()
+    d["frontier_iterative_planted"] = """
+        -- closure arithmetic of the planted 2-level tree: every doc
+        -- yields page (c0,u1); odd docs add (c0,u2) and (c1,u1); all
+        -- page discoveries happen in round 2 from their child sitemap
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds FROM documents)
+        SELECT doc_id,
+               'https://s' || ds || '.example/page-c0-u1' AS url,
+               'https://s' || ds || '.example/child0.xml' AS src_loc,
+               CAST(2 AS int) AS round
+        FROM base
+        UNION ALL
+        SELECT doc_id,
+               'https://s' || ds || '.example/page-c0-u2' AS url,
+               'https://s' || ds || '.example/child0.xml' AS src_loc,
+               CAST(2 AS int) AS round
+        FROM base WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id,
+               'https://s' || ds || '.example/page-c1-u1' AS url,
+               'https://s' || ds || '.example/child1.xml' AS src_loc,
+               CAST(2 AS int) AS round
+        FROM base WHERE doc_id % 2 = 1
+    """
     d["multimodal_image_meta2"] = """
         -- planted WebP/TIFF/JPEG-EXIF arithmetic (see the query
         -- docstring): k=0..2 WebP variants (8-bit by format, no

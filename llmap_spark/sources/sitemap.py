@@ -132,3 +132,64 @@ def read_sitemaps(df, body_col: str = "body",
     schema = (carry_schema + ", " if carry_schema else "") + \
         "loc string, lastmod string, kind string"
     return sel.mapInPandas(gen, schema)
+
+
+def expand_frontier(seeds, fetch, loc_col: str = "loc",
+                    max_rounds: int = 4):
+    """Bounded multi-round crawl-frontier expansion: follow sitemap
+    INDEX entries (kind='sitemap') through `fetch` until only page URLs
+    remain, a frontier round comes back empty, or `max_rounds` is hit.
+
+    seeds   DataFrame with `loc_col`: the root sitemap locations
+            (typically robots.txt 'Sitemap:' lines).
+    fetch   callable: DataFrame('loc') -> DataFrame('loc', 'body'
+            binary). The I/O seam — a real crawl backs it with a fetch
+            store or WARC lookup; tests and the planted driver query
+            back it with deterministic JVM body synthesis. Rows fetch
+            cannot produce may simply be absent (they contribute no
+            entries).
+
+    Returns one row per DISCOVERED PAGE URL: (loc, lastmod, src_loc,
+    round int) where src_loc is the sitemap that listed it and round is
+    the expansion depth (seeds are round 1). Spec says indexes nest one
+    level, so real crawls finish in 2 rounds; the loop tolerates deeper
+    trees up to max_rounds.
+
+    Termination + plan hygiene (the connected-components discipline,
+    operators/dedup.py): already-visited sitemap locs are anti-joined
+    out each round, so cycles cannot loop; and every per-round frame
+    (frontier, visited, accumulated urls) is EAGERLY localCheckpoint'ed
+    — a lazy loop plan would re-run every prior round's fetch+parse per
+    round and deepen the unresolved tree past the analyzer's limits.
+    The per-round empty check is one bounded count on the (small,
+    sitemap-loc-sized) frontier — the one deliberate driver-side step,
+    same as CC's fused change detection."""
+    from pyspark.sql import functions as F
+
+    frontier = (seeds.select(F.col(loc_col).alias("loc")).distinct()
+                .localCheckpoint(eager=True))
+    visited = frontier
+    acc = None
+    for rnd in range(1, max_rounds + 1):
+        if frontier.isEmpty():
+            break
+        fetched = fetch(frontier)
+        parsed = read_sitemaps(
+            fetched.withColumnRenamed("loc", "src_loc"),
+            body_col="body", keep_cols=("src_loc",))
+        urls = (parsed.filter(F.col("kind") == "url")
+                .select("loc", "lastmod", "src_loc",
+                        F.lit(rnd).cast("int").alias("round")))
+        acc = urls if acc is None else acc.unionByName(urls)
+        acc = acc.localCheckpoint(eager=True)
+        nxt = (parsed.filter(F.col("kind") == "sitemap")
+               .select("loc").distinct()
+               .join(visited, "loc", "left_anti")
+               .localCheckpoint(eager=True))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if acc is None:
+        spark = seeds.sparkSession
+        return spark.createDataFrame(
+            [], "loc string, lastmod string, src_loc string, round int")
+    return acc

@@ -100,3 +100,72 @@ def test_kernel_totality_fuzz():
         assert all(isinstance(u, str) for u, _ in entries)
 
     check()
+
+
+def _tree_fetch(df):
+    """Deterministic fetch seam for expand_frontier tests: a 3-level
+    tree with a cycle (b.xml links back to the root)."""
+    from pyspark.sql import functions as F
+
+    def idx(*locs):
+        inner = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in locs)
+        return f"<sitemapindex>{inner}</sitemapindex>"
+
+    def urlset(*locs):
+        inner = "".join(f"<url><loc>{u}</loc></url>" for u in locs)
+        return f"<urlset>{inner}</urlset>"
+
+    bodies = {
+        "https://x/s.xml": idx("https://x/a.xml", "https://x/b.xml"),
+        "https://x/a.xml": urlset("https://x/p1", "https://x/p2"),
+        "https://x/b.xml": idx("https://x/c.xml", "https://x/s.xml"),
+        "https://x/c.xml": urlset("https://x/p3"),
+    }
+    arms = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in bodies.items())
+    return df.withColumn(
+        "body", F.expr(f"cast(CASE loc {arms} END as binary)"))
+
+
+def test_expand_frontier_multilevel_with_cycle(spark):
+    from llmap_spark.sources.sitemap import expand_frontier
+
+    seeds = spark.createDataFrame([("https://x/s.xml",)], "loc string")
+    got = {(r.loc, r.src_loc, r.round)
+           for r in expand_frontier(seeds, _tree_fetch).collect()}
+    # a.xml's pages surface in round 2; c.xml (nested one level deeper
+    # than spec) in round 3; the b->s cycle is anti-joined away
+    assert got == {
+        ("https://x/p1", "https://x/a.xml", 2),
+        ("https://x/p2", "https://x/a.xml", 2),
+        ("https://x/p3", "https://x/c.xml", 3),
+    }
+
+
+def test_expand_frontier_bounded_rounds(spark):
+    from llmap_spark.sources.sitemap import expand_frontier
+
+    seeds = spark.createDataFrame([("https://x/s.xml",)], "loc string")
+    got = {(r.loc, r.round)
+           for r in expand_frontier(seeds, _tree_fetch,
+                                    max_rounds=2).collect()}
+    # round 3 is cut off by the bound; rounds 1-2 results survive
+    assert got == {("https://x/p1", 2), ("https://x/p2", 2)}
+
+
+def test_expand_frontier_empty_seeds(spark):
+    from llmap_spark.sources.sitemap import expand_frontier
+
+    seeds = spark.createDataFrame([], "loc string")
+    out = expand_frontier(seeds, _tree_fetch)
+    assert out.count() == 0
+    assert out.columns == ["loc", "lastmod", "src_loc", "round"]
+
+
+def test_expand_frontier_urlset_seed_single_round(spark):
+    """A seed that is already a urlset finishes in one round."""
+    from llmap_spark.sources.sitemap import expand_frontier
+
+    seeds = spark.createDataFrame([("https://x/a.xml",)], "loc string")
+    got = {(r.loc, r.round)
+           for r in expand_frontier(seeds, _tree_fetch).collect()}
+    assert got == {("https://x/p1", 1), ("https://x/p2", 1)}
