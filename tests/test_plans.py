@@ -184,3 +184,54 @@ def test_exact_dedup_skew_safety(spark):
     # (1.27x) on this fixture; the gap is the hot task's serialized
     # buffer drain, which only widens with corpus size and row width
     assert t_grp <= t_win * 1.15, (t_grp, t_win)
+
+
+def test_lsh_curation_skew_stress(spark):
+    """r4-verdict stretch: a Zipf-planted hot corpus (half the docs are
+    ONE viral boilerplate page; the rest unique) must keep the LSH/
+    paragraph-dedup path bounded — the hot band buckets hold n/2
+    members each and would generate ~n^2/8 candidate pairs without the
+    max_bucket cap. Asserts are structural (candidate volume bounded by
+    the cap arithmetic, hot paragraph collapses to one survivor), plus
+    a generous wall-clock ceiling as a regression tripwire."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from llmap_spark.operators.dedup import minhash_lsh_candidates
+    from llmap_spark.operators.scrub import dedup_paragraphs
+
+    n, hot = 4_000, 2_000
+    viral = ("breaking news subscribe to our newsletter for updates "
+             "terms of service privacy policy all rights reserved "
+             "copyright twenty twenty four contact us about us careers")
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < hot, F.lit(viral))
+        .otherwise(F.concat(
+            F.lit("unique story number "), F.col("id").cast("string"),
+            F.lit(" with distinct content about topic "),
+            F.md5(F.col("id").cast("string").cast("binary"))))
+        .alias("text"))
+
+    t0 = time.time()
+    cands = minhash_lsh_candidates(df, max_bucket=200,
+                                   materialize=True).collect()
+    el = time.time() - t0
+    # every hot-page band bucket exceeds max_bucket=200 and is dropped,
+    # so the candidate set cannot contain the ~2M hot pairs; whatever
+    # survives is bounded by cap arithmetic (bands * max_bucket^2 / 2
+    # worst case, and in practice ~0 here since unique docs don't
+    # collide). The viral page is exact-dup territory (exact_dedup /
+    # dedup_paragraphs), which is the documented division of labor.
+    assert len(cands) < 100_000, len(cands)
+    assert el < 120, el  # tripwire: quadratic blowup would take minutes
+
+    # the hot PARAGRAPH collapses map-side: one survivor keeps it, every
+    # other doc's copy dedups away (first-occurrence rule)
+    para = dedup_paragraphs(df)
+    kept = (para.filter(F.col("text_clean").contains("breaking news"))
+            .count())
+    assert kept == 1
+    # and no row was lost
+    assert para.count() == n
