@@ -588,6 +588,58 @@ def _q_frontier_iterative_planted(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("loc").alias("url"), "src_loc", "round")
 
 
+def _q_robots_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL discovery chain: robots.txt 'Sitemap:' directive
+    extraction (operators/robots.py sitemap_urls — global-scope lines
+    the rule parser ignores) -> seeds -> iterative frontier expansion.
+    Planted: doc d's robots body advertises the 2-level tree root of
+    frontier_iterative_planted (same fetch, same closure arithmetic);
+    odd docs advertise a SECOND root that is directly a urlset, so the
+    result mixes round-1 (direct urlset seed) and round-2 (index ->
+    child) discoveries and the oracle adds one arm."""
+    from llmap_spark.operators.robots import robots_sitemaps
+    from llmap_spark.sources.sitemap import expand_frontier
+
+    robots = _docs(spark, sf_dir).select(
+        F.expr("concat('s', cast(doc_id as string), '.example')")
+        .alias("host"),
+        F.expr(
+            "concat('User-Agent: *\nDisallow: /tmp/\n', "
+            "'Sitemap: https://s', cast(doc_id as string), "
+            "'.example/sitemap.xml', "
+            "CASE WHEN doc_id % 2 = 1 THEN concat("
+            "'\nSitemap: https://s', cast(doc_id as string), "
+            "'.example/extra.xml') ELSE '' END)").alias("body"))
+    seeds = robots_sitemaps(robots).select("loc")
+
+    def fetch(frontier: DataFrame) -> DataFrame:
+        d = "cast(regexp_extract(loc, 'https://s(\\\\d+)\\\\.example', 1) as bigint)"
+        c = "cast(regexp_extract(loc, 'child(\\\\d+)\\\\.xml', 1) as bigint)"
+        body = F.expr(
+            f"cast(CASE WHEN loc LIKE '%/sitemap.xml' THEN "
+            f"concat('<sitemapindex>', array_join(transform("
+            f"sequence(0, {d} % 2), c -> concat("
+            f"'<sitemap><loc>https://s', cast({d} as string), "
+            f"'.example/child', cast(c as string), '.xml</loc></sitemap>'"
+            f")), ''), '</sitemapindex>') "
+            f"WHEN loc LIKE '%/extra.xml' THEN "
+            f"concat('<urlset><url><loc>https://s', cast({d} as string), "
+            f"'.example/page-extra</loc></url></urlset>') "
+            f"ELSE concat('<urlset>', array_join(transform("
+            f"sequence(1, 1 + ({d} + {c}) % 2), u -> concat("
+            f"'<url><loc>https://s', cast({d} as string), "
+            f"'.example/page-c', cast({c} as string), '-u', "
+            f"cast(u as string), '</loc></url>')), ''), '</urlset>') "
+            f"END as binary)")
+        return frontier.withColumn("body", body)
+
+    out = expand_frontier(seeds, fetch, max_rounds=4)
+    return out.select(
+        F.regexp_extract("src_loc", r"https://s(\d+)\.example", 1)
+        .cast("long").alias("doc_id"),
+        F.col("loc").alias("url"), "src_loc", "round")
+
+
 def _q_lm_score_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet-style char-trigram LM quality scorer (operators/lm.py),
     hash-verified: the model table is planted ({'aba': 1500, 'bab': 2500}
@@ -1885,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_planted": _q_substring_dedup_planted,
         "multimodal_image_meta2": _q_multimodal_image_meta2,
         "frontier_iterative_planted": _q_frontier_iterative_planted,
+        "robots_sitemap_frontier": _q_robots_sitemap_frontier,
         # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -3290,6 +3343,35 @@ def oracle_sql() -> dict[str, str]:
     # decoration no SQL can derive). Edge pages take lang from the
     # wrapped doc (corpus.py: lang = langs[i % ndocs]).
     d["lang_id2"] = _langid_oracle_sql()
+    d["robots_sitemap_frontier"] = """
+        -- frontier_iterative_planted's closure plus the odd-doc extra
+        -- urlset root discovered directly in round 1
+        WITH base AS (
+          SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds FROM documents)
+        SELECT doc_id,
+               'https://s' || ds || '.example/page-c0-u1' AS url,
+               'https://s' || ds || '.example/child0.xml' AS src_loc,
+               CAST(2 AS int) AS round
+        FROM base
+        UNION ALL
+        SELECT doc_id,
+               'https://s' || ds || '.example/page-c0-u2' AS url,
+               'https://s' || ds || '.example/child0.xml' AS src_loc,
+               CAST(2 AS int) AS round
+        FROM base WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id,
+               'https://s' || ds || '.example/page-c1-u1' AS url,
+               'https://s' || ds || '.example/child1.xml' AS src_loc,
+               CAST(2 AS int) AS round
+        FROM base WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id,
+               'https://s' || ds || '.example/page-extra' AS url,
+               'https://s' || ds || '.example/extra.xml' AS src_loc,
+               CAST(1 AS int) AS round
+        FROM base WHERE doc_id % 2 = 1
+    """
     d["frontier_iterative_planted"] = """
         -- closure arithmetic of the planted 2-level tree: every doc
         -- yields page (c0,u1); odd docs add (c0,u2) and (c1,u1); all

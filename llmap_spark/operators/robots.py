@@ -107,6 +107,59 @@ def parse_robots(body: str | None, agent: str = "*") -> list[tuple[int, str]]:
     return merged[:MAX_RULES_PER_HOST]
 
 
+MAX_SITEMAPS_PER_HOST = 100  # defensive cap on pathological bodies
+
+
+def sitemap_urls(body: str | None) -> list[str]:
+    """'Sitemap:' directive URLs of a robots.txt body — the discovery
+    link between the robots gate and the sitemap frontier (robots.txt
+    advertises sitemaps; sitemap.expand_frontier follows them). Per RFC
+    9309 §2.3 / sitemaps.org the directive is GLOBAL scope (not part of
+    any user-agent group), case-insensitive key, absolute URL value.
+    Total, order-preserving, deduplicated, capped. Same kernel
+    discipline as parse_robots (shared by pytest and the Spark op)."""
+    if not body:
+        return []
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in body[:MAX_ROBOTS_BYTES].splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        u = val.strip()
+        if u and u not in seen:
+            seen.add(u)
+            out.append(u)
+            if len(out) >= MAX_SITEMAPS_PER_HOST:
+                break
+    return out
+
+
+def robots_sitemaps(robots_df: DataFrame, host_col: str = "host",
+                    body_col: str = "body") -> DataFrame:
+    """(host, robots body) -> (host, loc): one row per advertised
+    sitemap URL — the seeds frame sitemap.expand_frontier consumes.
+    Host normalization and one-row-per-host dedup mirror robots_rules
+    (duplicate fetches collapse before the explode); the extraction is
+    an Arrow-batched call of the SAME sitemap_urls kernel."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def extract(bodies: pd.Series) -> pd.Series:
+        return pd.Series([sitemap_urls(b) for b in bodies])
+
+    one_per_host = (robots_df.select(
+        _norm_host(F.col(host_col)).alias("host"),
+        F.col(body_col).alias("__robots_body"))
+        .groupBy("host").agg(F.min("__robots_body").alias("__robots_body")))
+    return (one_per_host
+            .select("host", extract(F.col("__robots_body")).alias("_locs"))
+            .select("host", F.explode("_locs").alias("loc")))
+
+
 def _match_pattern(pattern: str, path: str) -> bool:
     """Anchored-at-start wildcard match: '*' matches any run, a trailing
     '$' anchors the end, everything else is literal. ITERATIVE two-pointer

@@ -249,3 +249,58 @@ def test_kernel_totality_fuzz():
 
     check_parse()
     check_match()
+
+
+def test_sitemap_urls_kernel():
+    from llmap_spark.operators.robots import sitemap_urls
+
+    body = ("User-Agent: *\nDisallow: /priv/\n"
+            "Sitemap: https://a.example/s1.xml\n"
+            "sitemap:https://a.example/s2.xml  # trailing comment\n"
+            "SITEMAP: https://a.example/s1.xml\n"   # dup: kept once
+            "Crawl-delay: 5\n")
+    assert sitemap_urls(body) == [
+        "https://a.example/s1.xml", "https://a.example/s2.xml"]
+    # global scope: directives inside an agent group still count
+    grouped = "User-Agent: bot\nSitemap: https://b.example/x.xml\nDisallow: /"
+    assert sitemap_urls(grouped) == ["https://b.example/x.xml"]
+    assert sitemap_urls(None) == []
+    assert sitemap_urls("") == []
+    assert sitemap_urls("no directives here\n:::\n#Sitemap: x") == []
+
+
+def test_robots_sitemaps_spark_dedups_hosts(spark):
+    from llmap_spark.operators.robots import robots_sitemaps
+
+    robots_df = spark.createDataFrame(
+        [("A.example", "Sitemap: https://a.example/s.xml"),
+         ("a.example:443", "Sitemap: https://a.example/s.xml"),
+         ("b.example", "User-agent: *\nDisallow: /\n"
+                       "Sitemap: https://b.example/1.xml\n"
+                       "Sitemap: https://b.example/2.xml"),
+         ("c.example", "User-agent: *\nDisallow: /")],  # none advertised
+        "host string, body string")
+    got = sorted((r.host, r.loc) for r in robots_sitemaps(robots_df).collect())
+    assert got == [
+        ("a.example", "https://a.example/s.xml"),
+        ("b.example", "https://b.example/1.xml"),
+        ("b.example", "https://b.example/2.xml")]
+
+
+def test_robots_to_frontier_integration(spark):
+    """robots 'Sitemap:' lines seed expand_frontier end-to-end."""
+    from llmap_spark.operators.robots import robots_sitemaps
+    from llmap_spark.sources.sitemap import expand_frontier
+    from pyspark.sql import functions as F
+
+    robots_df = spark.createDataFrame(
+        [("x", "Sitemap: https://x/a.xml")], "host string, body string")
+    seeds = robots_sitemaps(robots_df).select("loc")
+
+    def fetch(df):
+        return df.withColumn("body", F.expr(
+            "cast('<urlset><url><loc>https://x/p1</loc></url></urlset>' "
+            "as binary)"))
+
+    got = [(r.loc, r.round) for r in expand_frontier(seeds, fetch).collect()]
+    assert got == [("https://x/p1", 1)]
