@@ -138,24 +138,36 @@ def sitemap_urls(body: str | None) -> list[str]:
     return out
 
 
+def _one_per_host(robots_df: DataFrame, host_col: str,
+                  body_col: str) -> DataFrame:
+    """Normalize the host key and ENFORCE one row per normalized host
+    (min body: deterministic; duplicate fetches carry identical bodies
+    anyway) — the shared reduction both robots_rules and
+    robots_sitemaps build on, so their dedup rule cannot diverge."""
+    return (robots_df.select(
+        _norm_host(F.col(host_col)).alias("host"),
+        F.col(body_col).alias("__robots_body"))
+        .groupBy("host").agg(F.min("__robots_body").alias("__robots_body")))
+
+
 def robots_sitemaps(robots_df: DataFrame, host_col: str = "host",
                     body_col: str = "body") -> DataFrame:
     """(host, robots body) -> (host, loc): one row per advertised
     sitemap URL — the seeds frame sitemap.expand_frontier consumes.
-    Host normalization and one-row-per-host dedup mirror robots_rules
-    (duplicate fetches collapse before the explode); the extraction is
-    an Arrow-batched call of the SAME sitemap_urls kernel."""
+    Host normalization and one-row-per-host dedup are shared with
+    robots_rules (_one_per_host); the extraction is an Arrow-batched
+    call of the SAME sitemap_urls kernel."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
     def extract(bodies: pd.Series) -> pd.Series:
         return pd.Series([sitemap_urls(b) for b in bodies])
 
-    one_per_host = (robots_df.select(
-        _norm_host(F.col(host_col)).alias("host"),
-        F.col(body_col).alias("__robots_body"))
-        .groupBy("host").agg(F.min("__robots_body").alias("__robots_body")))
-    return (one_per_host
+    # deterministic; the flag only blocks InferFiltersFromGenerate from
+    # CLONING the UDF into a pre-explode filter (CLAUDE.md rule — the
+    # extraction would otherwise run twice per host row)
+    extract = extract.asNondeterministic()
+    return (_one_per_host(robots_df, host_col, body_col)
             .select("host", extract(F.col("__robots_body")).alias("_locs"))
             .select("host", F.explode("_locs").alias("loc")))
 
@@ -247,11 +259,7 @@ def robots_rules(robots_df: DataFrame, agent: str = "*",
     def parse(bodies: pd.Series) -> pd.Series:
         return pd.Series([parse_robots(b, agent) for b in bodies])
 
-    one_per_host = (robots_df.select(
-        _norm_host(F.col(host_col)).alias("host"),
-        F.col(body_col).alias("__robots_body"))
-        .groupBy("host").agg(F.min("__robots_body").alias("__robots_body")))
-    return one_per_host.select(
+    return _one_per_host(robots_df, host_col, body_col).select(
         "host", parse(F.col("__robots_body")).alias("rules"))
 
 

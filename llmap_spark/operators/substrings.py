@@ -153,7 +153,6 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
     covered byte removed. Rows whose normalized text is shorter than one
     L-gram carry zero spans and their normalized text unchanged — total,
     never dropped."""
-    spark = df.sparkSession
     grams = _gram_table(df, id_col, text_col, min_len).persist()
     from llmap_spark.cache import register_persisted
 

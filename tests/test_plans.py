@@ -180,10 +180,12 @@ def test_exact_dedup_skew_safety(spark):
 
     t_win = run(window_plan)
     t_grp = run(lambda: exact_dedup(df))
-    # directional, shared-VM tolerant: measured 4.4s vs 3.5s best-of-2
-    # (1.27x) on this fixture; the gap is the hot task's serialized
-    # buffer drain, which only widens with corpus size and row width
-    assert t_grp <= t_win * 1.15, (t_grp, t_win)
+    # directional with WIDE slack (review finding: the measured margin
+    # is 1.27x — 4.4s window vs 3.5s groupBy best-of-2 — so a tight
+    # bound would flake on a loaded shared VM; the structural assert
+    # above carries the scale claim, this only trips on a regression
+    # that makes the skew-safe plan grossly slower than the straggler)
+    assert t_grp <= t_win * 1.6, (t_grp, t_win)
 
 
 def test_lsh_curation_skew_stress(spark):
