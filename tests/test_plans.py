@@ -237,3 +237,19 @@ def test_lsh_curation_skew_stress(spark):
     assert kept == 1
     # and no row was lost
     assert para.count() == n
+
+
+def test_substring_dedup_gram_pass_is_cached(spark):
+    """The positional-gram Arrow UDF is the expensive stage; BOTH its
+    consumers (site counts and the covered-position semi join) must read
+    the persisted gram table, not re-run the UDF — and the dup-hash
+    filter joins back LEFT SEMI (output <= input, no row multiplication)."""
+    from llmap_spark.operators.substrings import substring_dedup
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = substring_dedup(df, min_len=20)
+    plan = _plan(out)
+    # two cache readers = counts branch + semi-join branch both reuse
+    # the materialized gram table
+    assert plan.count("InMemoryTableScan") == 2
+    assert "LeftSemi" in plan
