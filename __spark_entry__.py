@@ -1602,6 +1602,69 @@ def _q_multimodal_image_meta2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "orientation")
 
 
+def _q_multimodal_png_decode_planted(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """REAL pixel decode (llmap_spark.png: stdlib inflate + unfilter —
+    the r4 'env-blocked' seam made real for PNG), hash-verified: every
+    doc is encoded as a constant-pixel PNG (grey v for even docs, RGB
+    (v,v+1,v+2) for odd; v = 32 + d%93 keeps all bytes ASCII so DuckDB
+    chr()/repeat() reproduce the exact pixel byte stream), decoded
+    distributed, and summarized as integer mean_x1000 + md5 of the raw
+    decoded pixels — both pure arithmetic for the oracle."""
+    import pandas as pd
+
+    from llmap_spark.functions.multimodal import with_png_decode
+    from llmap_spark.png import encode_png
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf_ in batches:
+            payloads = []
+            for d in pdf_["doc_id"]:
+                d = int(d)
+                w, h, v = 1 + d % 32, 1 + d % 24, 32 + d % 93
+                if d % 2 == 0:
+                    payloads.append(encode_png(bytes([v]) * (w * h),
+                                               w, h, 1))
+                else:
+                    payloads.append(encode_png(
+                        bytes([v, v + 1, v + 2]) * (w * h), w, h, 3))
+            yield pd.DataFrame({"doc_id": pdf_["doc_id"],
+                                "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return with_png_decode(payloads, "payload", keep_cols=("doc_id",))
+
+
+def _q_multimodal_png_resize_planted(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """REAL resize end-to-end (decode -> integer nearest-neighbor
+    resample -> re-encode -> decode), hash-verified: constant-pixel
+    PNGs resample to constant-pixel PNGs at planted output dims, so the
+    resized pixel md5 is repeat-arithmetic the oracle replays."""
+    import pandas as pd
+
+    from llmap_spark.functions.multimodal import resize_image, with_png_decode
+    from llmap_spark.png import encode_png
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf_ in batches:
+            payloads = []
+            for d in pdf_["doc_id"]:
+                d = int(d)
+                w, h, v = 4 + d % 29, 3 + d % 23, 32 + d % 93
+                png = encode_png(bytes([v]) * (w * h), w, h, 1)
+                payloads.append(resize_image(png, 1 + d % 8, 1 + d % 6))
+            yield pd.DataFrame({"doc_id": pdf_["doc_id"],
+                                "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return with_png_decode(payloads, "payload", keep_cols=("doc_id",))
+
+
 def _q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4 (ISO-BMFF) header metadata, driver-verified: every doc is
     rendered as a minimal ftyp+moov(mvhd+trak(tkhd)) file with planted
@@ -1938,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta2": _q_multimodal_image_meta2,
         "frontier_iterative_planted": _q_frontier_iterative_planted,
         "robots_sitemap_frontier": _q_robots_sitemap_frontier,
+        "multimodal_png_decode_planted": _q_multimodal_png_decode_planted,
+        "multimodal_png_resize_planted": _q_multimodal_png_resize_planted,
         # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -3343,6 +3408,42 @@ def oracle_sql() -> dict[str, str]:
     # decoration no SQL can derive). Edge pages take lang from the
     # wrapped doc (corpus.py: lang = langs[i % ndocs]).
     d["lang_id2"] = _langid_oracle_sql()
+    d["multimodal_png_decode_planted"] = """
+        -- constant-pixel arithmetic: v = 32 + doc_id%93 (ASCII-safe so
+        -- chr()/repeat() build the exact decoded byte stream); grey for
+        -- even docs, RGB (v,v+1,v+2) for odd (mean is exactly v+1)
+        WITH p AS (
+          SELECT doc_id,
+                 CAST(1 + doc_id % 32 AS int) AS width,
+                 CAST(1 + doc_id % 24 AS int) AS height,
+                 CAST(32 + doc_id % 93 AS int) AS v,
+                 (1 + doc_id % 32) * (1 + doc_id % 24) AS npx
+          FROM documents)
+        SELECT doc_id, 'ok' AS status, width, height,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS int)
+            AS channels,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN v * 1000
+               ELSE (v + 1) * 1000 END AS int) AS mean_x1000,
+          CASE WHEN doc_id % 2 = 0 THEN md5(repeat(chr(v), npx))
+               ELSE md5(repeat(chr(v) || chr(v + 1) || chr(v + 2), npx))
+          END AS px_md5
+        FROM p
+    """
+    d["multimodal_png_resize_planted"] = """
+        -- resample of a constant image is the constant at the planted
+        -- output dims: pure repeat-arithmetic
+        WITH p AS (
+          SELECT doc_id,
+                 CAST(1 + doc_id % 8 AS int) AS width,
+                 CAST(1 + doc_id % 6 AS int) AS height,
+                 CAST(32 + doc_id % 93 AS int) AS v
+          FROM documents)
+        SELECT doc_id, 'ok' AS status, width, height,
+          CAST(1 AS int) AS channels,
+          CAST(v * 1000 AS int) AS mean_x1000,
+          md5(repeat(chr(v), width * height)) AS px_md5
+        FROM p
+    """
     d["robots_sitemap_frontier"] = """
         -- frontier_iterative_planted's closure plus the odd-doc extra
         -- urlset root discovered directly in round 1

@@ -2,19 +2,21 @@
 
 Images/audio/video ride as `binary` columns with struct metadata, exactly
 like `html` does in the pages table. The Spark side — schemas, batch
-shapes, partition behavior, UDF signatures — is real and tested; the
-actual codec decode is STUBBED (this container has no image/audio libs):
+shapes, partition behavior, UDF signatures — is real and tested, and the
+decode story is now split by what the environment can actually do:
 
   * `sniff_media_type` is pure JVM expression (magic-byte prefix match);
-  * `media_features` is a deterministic fake decode (byte histogram
-    statistics), clearly marked, with the same mapInPandas shape a real
-    decoder (PIL/libsndfile/ffmpeg) would use;
+  * PNG pixel decode / resample / re-encode are REAL (llmap_spark.png:
+    stdlib zlib inflate + numpy unfilter, all five scanline filters) —
+    `decode_image`, `resize_image` and `with_png_decode` run them;
   * `with_pdf_text` / `extract_any`'s PDF branch are REAL: stdlib text-layer
     extraction via llmap_spark.pdf (zlib FlateDecode + content-stream
     text-show operators);
-  * `decode_image` raises NotImplementedError — the marked seam where a
-    real codec plugs in (full pixel decode; header METADATA is real, see
-    llmap_spark.media_meta).
+  * JPEG/WebP/GIF pixel decode still needs entropy codecs this container
+    does not ship: `decode_image`/`resize_image` raise the documented
+    NotImplementedError for those, and `media_features` remains the
+    clearly-marked deterministic fake with the real mapInPandas shape
+    (header METADATA for every format is real — llmap_spark.media_meta).
 
 At 100 TB the rules that matter are the ones enforced here: binary columns
 never pass through row-at-a-time Python, batches stay small (session.py
@@ -251,19 +253,59 @@ def with_resize_plan(df: DataFrame, binary_col: str,
     return df.select(*cols).mapInPandas(fn, out_schema)
 
 
-def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover
-    """Seam for real image resizing (PIL/torchvision). Declared stub: the
-    container ships no codecs; the Spark-side plumbing (binary in/out
-    column transforms, batch shapes) is what this repo tests."""
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Image resize. REAL for PNG (llmap_spark.png: stdlib inflate ->
+    unfilter -> integer nearest-neighbor resample -> re-encode, valid
+    CRCs); other formats still need codec libraries absent from this
+    container and raise the documented NotImplementedError seam."""
+    from llmap_spark.png import decode_png, encode_png, resample_nearest
+
+    img = decode_png(payload)
+    if img.status == "ok":
+        px = resample_nearest(img.pixels, img.width, img.height,
+                              img.channels, width, height)
+        return encode_png(px, width, height, img.channels)
     raise NotImplementedError(
-        "image resize requires a codec library not present in this "
-        "environment; wire PIL here on a real cluster")
+        f"non-PNG resize (decode status {img.status!r}) requires a codec "
+        "library not present in this environment; wire PIL here on a "
+        "real cluster")
 
 
-def decode_image(payload: bytes):  # pragma: no cover - documented stub
-    """Seam for a real image decoder (PIL.Image.open etc.). The container
-    ships no codec libraries, so this is a marked stub; the Spark plumbing
-    above is what this repo actually tests."""
+def decode_image(payload: bytes):
+    """Image decode. REAL for PNG — returns llmap_spark.png.PngImage
+    with raw 8-bit pixels (greyscale/RGB/RGBA/palette-expanded, all five
+    scanline filters). JPEG/WebP/GIF need entropy codecs absent from
+    this container and raise the documented NotImplementedError seam."""
+    from llmap_spark.png import decode_png
+
+    img = decode_png(payload)
+    if img.status != "not_png":
+        return img  # total PNG path: 'ok' or a typed failure status
     raise NotImplementedError(
-        "image decode requires a codec library not present in this "
+        "non-PNG decode requires a codec library not present in this "
         "environment; wire PIL/torchvision here on a real cluster")
+
+
+PNG_DECODE_SCHEMA = ("status string, width int, height int, channels int, "
+                     "mean_x1000 int, px_md5 string")
+
+
+def with_png_decode(df: DataFrame, binary_col: str,
+                    keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """REAL pixel decode over a binary column: per-row PNG inflate +
+    unfilter via the shared llmap_spark.png kernel, summarized as
+    integer-exact stats (mean_x1000 = floor of mean pixel value x1000)
+    plus the md5 of the raw decoded pixel bytes — the column the driver
+    oracle hash-verifies. Total: non-PNG/corrupt rows carry their typed
+    status with NULL stats. Map-only Arrow batches (map_with_carry)."""
+    from llmap_spark.functions.arrow_carry import map_with_carry
+    from llmap_spark.png import png_pixel_stats
+
+    def batch(series: pd.Series) -> pd.DataFrame:
+        rows = [png_pixel_stats(v) for v in series]
+        return pd.DataFrame(rows, columns=["status", "width", "height",
+                                           "channels", "mean_x1000",
+                                           "px_md5"])
+
+    return map_with_carry(df, binary_col, keep_cols, PNG_DECODE_SCHEMA,
+                          batch)

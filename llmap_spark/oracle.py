@@ -12,6 +12,7 @@ CLI:
     python -m llmap_spark.oracle status  <file.html|file.pdf> [...]
     python -m llmap_spark.oracle meta    <file.png|gif|jpg|wav|...> [...]
     python -m llmap_spark.oracle lang    <file.txt> [...]
+    python -m llmap_spark.oracle pixels  <file.png> [...]
 """
 
 from __future__ import annotations
@@ -70,7 +71,7 @@ def _dispatch(payload: bytes):
 
 def main(argv: list[str]) -> int:
     if len(argv) < 2 or argv[0] not in {"blocks", "extract", "status",
-                                        "meta", "lang"}:
+                                        "meta", "lang", "pixels"}:
         print(__doc__, file=sys.stderr)
         return 2
     cmd, files = argv[0], argv[1:]
@@ -92,6 +93,12 @@ def main(argv: list[str]) -> int:
         elif cmd == "extract":
             r = _dispatch(html)
             print(r.extracted_text)
+        elif cmd == "pixels":
+            from llmap_spark.png import png_pixel_stats
+
+            st_, w, h, ch, mean, md5_ = png_pixel_stats(html)
+            print(f"{f}\t{st_}\t{w}x{h}\tchannels={ch}\t"
+                  f"mean_x1000={mean}\tpx_md5={md5_}")
         elif cmd == "lang":
             from llmap_spark.operators.langid import detect_language
 

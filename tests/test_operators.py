@@ -552,9 +552,15 @@ def test_frame_sample_fanout(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
 
 
-def test_decode_image_is_marked_stub():
+def test_decode_image_png_real_others_marked_stub():
+    """Round 5: PNG decode is REAL (llmap_spark.png); the codec-bound
+    formats (JPEG etc.) keep the documented NotImplementedError seam."""
     from llmap_spark.functions.multimodal import decode_image
+    from llmap_spark.media_meta import make_png
 
+    img = decode_image(make_png(6, 4, 8))
+    assert (img.status, img.width, img.height) == ("ok", 6, 4)
+    assert img.pixels == b"\x00" * 24
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
 
