@@ -1665,6 +1665,36 @@ def _q_multimodal_png_resize_planted(spark: SparkSession,
     return with_png_decode(payloads, "payload", keep_cols=("doc_id",))
 
 
+def _q_multimodal_gif_decode_planted(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """REAL GIF LZW decode (llmap_spark.gif), hash-verified like the PNG
+    twin: every doc encodes a constant-index frame whose 2-entry palette
+    head is (v, v+1, v+2) with v = 32 + d%93 (ASCII-safe), so the
+    decoded RGB stream is chr/repeat arithmetic and the mean is exactly
+    v+1. The encode side exercises the uncompressed-LZW writer; the
+    distributed decode exercises the variable-width reader."""
+    import pandas as pd
+
+    from llmap_spark.functions.multimodal import with_image_decode
+    from llmap_spark.gif import encode_gif
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf_ in batches:
+            payloads = []
+            for d in pdf_["doc_id"]:
+                d = int(d)
+                w, h, v = 1 + d % 30, 1 + d % 20, 32 + d % 93
+                pal = bytes([v, v + 1, v + 2, 0, 0, 0])
+                payloads.append(encode_gif(bytes(w * h), w, h, pal))
+            yield pd.DataFrame({"doc_id": pdf_["doc_id"],
+                                "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return with_image_decode(payloads, "payload", keep_cols=("doc_id",))
+
+
 def _q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4 (ISO-BMFF) header metadata, driver-verified: every doc is
     rendered as a minimal ftyp+moov(mvhd+trak(tkhd)) file with planted
@@ -2003,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemap_frontier": _q_robots_sitemap_frontier,
         "multimodal_png_decode_planted": _q_multimodal_png_decode_planted,
         "multimodal_png_resize_planted": _q_multimodal_png_resize_planted,
+        "multimodal_gif_decode_planted": _q_multimodal_gif_decode_planted,
         # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -3427,6 +3458,22 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN doc_id % 2 = 0 THEN md5(repeat(chr(v), npx))
                ELSE md5(repeat(chr(v) || chr(v + 1) || chr(v + 2), npx))
           END AS px_md5
+        FROM p
+    """
+    d["multimodal_gif_decode_planted"] = """
+        -- constant-index GIF: every pixel is palette entry 0 =
+        -- (v, v+1, v+2), v ASCII-safe, mean exactly v+1
+        WITH p AS (
+          SELECT doc_id,
+                 CAST(1 + doc_id % 30 AS int) AS width,
+                 CAST(1 + doc_id % 20 AS int) AS height,
+                 CAST(32 + doc_id % 93 AS int) AS v,
+                 (1 + doc_id % 30) * (1 + doc_id % 20) AS npx
+          FROM documents)
+        SELECT doc_id, 'ok' AS status, width, height,
+          CAST(3 AS int) AS channels,
+          CAST((v + 1) * 1000 AS int) AS mean_x1000,
+          md5(repeat(chr(v) || chr(v + 1) || chr(v + 2), npx)) AS px_md5
         FROM p
     """
     d["multimodal_png_resize_planted"] = """

@@ -272,18 +272,22 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 
 
 def decode_image(payload: bytes):
-    """Image decode. REAL for PNG — returns llmap_spark.png.PngImage
-    with raw 8-bit pixels (greyscale/RGB/RGBA/palette-expanded, all five
-    scanline filters). JPEG/WebP/GIF need entropy codecs absent from
-    this container and raise the documented NotImplementedError seam."""
+    """Image decode. REAL for PNG (llmap_spark.png: inflate + unfilter)
+    and GIF (llmap_spark.gif: pure-stdlib LZW, first frame composed on
+    the canvas as RGB). JPEG/WebP need entropy codecs absent from this
+    container and raise the documented NotImplementedError seam."""
+    from llmap_spark.gif import decode_gif
     from llmap_spark.png import decode_png
 
     img = decode_png(payload)
     if img.status != "not_png":
         return img  # total PNG path: 'ok' or a typed failure status
+    gimg = decode_gif(payload)
+    if gimg.status != "not_gif":
+        return gimg
     raise NotImplementedError(
-        "non-PNG decode requires a codec library not present in this "
-        "environment; wire PIL/torchvision here on a real cluster")
+        "non-PNG/GIF decode requires a codec library not present in "
+        "this environment; wire PIL/torchvision here on a real cluster")
 
 
 PNG_DECODE_SCHEMA = ("status string, width int, height int, channels int, "
@@ -303,6 +307,46 @@ def with_png_decode(df: DataFrame, binary_col: str,
 
     def batch(series: pd.Series) -> pd.DataFrame:
         rows = [png_pixel_stats(v) for v in series]
+        return pd.DataFrame(rows, columns=["status", "width", "height",
+                                           "channels", "mean_x1000",
+                                           "px_md5"])
+
+    return map_with_carry(df, binary_col, keep_cols, PNG_DECODE_SCHEMA,
+                          batch)
+
+
+def image_pixel_stats(payload: bytes | None) -> tuple:
+    """Combined PNG+GIF pixel-stats kernel: (status, width, height,
+    channels, mean_x1000, px_md5). Anything neither codec recognizes is
+    'undecodable' (the JPEG/WebP seam) — total, never raises."""
+    import hashlib
+
+    from llmap_spark.gif import decode_gif
+    from llmap_spark.png import decode_png, png_pixel_stats
+
+    st = png_pixel_stats(payload)
+    if st[0] != "not_png":
+        return st
+    g = decode_gif(payload)
+    if g.status == "not_gif":
+        return ("undecodable", None, None, None, None, None)
+    if g.status != "ok":
+        return (g.status, g.width, g.height, None, None, None)
+    a = np.frombuffer(g.pixels, dtype=np.uint8)
+    mean_x1000 = int(a.sum(dtype=np.int64)) * 1000 // a.size if a.size else 0
+    return (g.status, g.width, g.height, g.channels, mean_x1000,
+            hashlib.md5(g.pixels).hexdigest())
+
+
+def with_image_decode(df: DataFrame, binary_col: str,
+                      keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """REAL pixel decode over a binary column for BOTH decodable web
+    formats (PNG + GIF) via image_pixel_stats; same schema and map-only
+    shape as with_png_decode."""
+    from llmap_spark.functions.arrow_carry import map_with_carry
+
+    def batch(series: pd.Series) -> pd.DataFrame:
+        rows = [image_pixel_stats(v) for v in series]
         return pd.DataFrame(rows, columns=["status", "width", "height",
                                            "channels", "mean_x1000",
                                            "px_md5"])
