@@ -1695,6 +1695,37 @@ def _q_multimodal_gif_decode_planted(spark: SparkSession,
     return with_image_decode(payloads, "payload", keep_cols=("doc_id",))
 
 
+def _q_multimodal_wav_decode_planted(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """REAL WAV PCM sample decode (llmap_spark.audio), hash-verified:
+    every doc is a mono 16-bit WAV whose constant sample has identical
+    low/high bytes c = 32 + d%93 (ASCII-safe), so the sample value is
+    exactly c*257, the integer amplitude stats are arithmetic, and the
+    raw PCM md5 is chr/repeat arithmetic. Positive samples only — the
+    Python floor division and DuckDB's truncating division agree on
+    non-negative sums (the documented cross-engine rule)."""
+    import pandas as pd
+
+    from llmap_spark.audio import encode_wav
+    from llmap_spark.functions.multimodal import with_audio_decode
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf_ in batches:
+            payloads = []
+            for d in pdf_["doc_id"]:
+                d = int(d)
+                c, nf = 32 + d % 93, 10 + d % 50
+                payloads.append(encode_wav(bytes([c, c]) * nf,
+                                           8000 * (1 + d % 6), 1, 16))
+            yield pd.DataFrame({"doc_id": pdf_["doc_id"],
+                                "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return with_audio_decode(payloads, "payload", keep_cols=("doc_id",))
+
+
 def _q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4 (ISO-BMFF) header metadata, driver-verified: every doc is
     rendered as a minimal ftyp+moov(mvhd+trak(tkhd)) file with planted
@@ -2034,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode_planted": _q_multimodal_png_decode_planted,
         "multimodal_png_resize_planted": _q_multimodal_png_resize_planted,
         "multimodal_gif_decode_planted": _q_multimodal_gif_decode_planted,
+        "multimodal_wav_decode_planted": _q_multimodal_wav_decode_planted,
         # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -3458,6 +3490,22 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN doc_id % 2 = 0 THEN md5(repeat(chr(v), npx))
                ELSE md5(repeat(chr(v) || chr(v + 1) || chr(v + 2), npx))
           END AS px_md5
+        FROM p
+    """
+    d["multimodal_wav_decode_planted"] = """
+        -- constant mono 16-bit PCM: sample value c*257 with identical
+        -- ASCII-safe low/high bytes c; stats and PCM md5 are arithmetic
+        WITH p AS (
+          SELECT doc_id,
+                 CAST(32 + doc_id % 93 AS int) AS c,
+                 CAST(10 + doc_id % 50 AS int) AS nf
+          FROM documents)
+        SELECT doc_id, 'ok' AS status,
+          CAST(8000 * (1 + doc_id % 6) AS int) AS sample_rate,
+          CAST(1 AS int) AS channels, nf AS n_frames,
+          CAST(c * 257 * 1000 AS bigint) AS mean_milli,
+          CAST(c * 257 * 1000 AS bigint) AS abs_mean_milli,
+          md5(repeat(chr(c) || chr(c), nf)) AS s_md5
         FROM p
     """
     d["multimodal_gif_decode_planted"] = """

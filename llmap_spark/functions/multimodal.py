@@ -315,6 +315,33 @@ def with_png_decode(df: DataFrame, binary_col: str,
                           batch)
 
 
+AUDIO_DECODE_SCHEMA = ("status string, sample_rate int, channels int, "
+                       "n_frames int, mean_milli long, abs_mean_milli long, "
+                       "s_md5 string")
+
+
+def with_audio_decode(df: DataFrame, binary_col: str,
+                      keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """REAL WAV PCM sample decode (llmap_spark.audio) over a binary
+    column: integer-exact amplitude stats + md5 of the raw PCM bytes.
+    Total: non-WAV/compressed rows carry a typed status with NULL
+    stats. NOTE the mean_milli floor division follows Python floor
+    semantics (toward -inf); cross-engine oracles must plant
+    non-negative sums (DuckDB // truncates toward zero)."""
+    from llmap_spark.audio import wav_sample_stats
+    from llmap_spark.functions.arrow_carry import map_with_carry
+
+    def batch(series: pd.Series) -> pd.DataFrame:
+        rows = [wav_sample_stats(v) for v in series]
+        return pd.DataFrame(rows, columns=["status", "sample_rate",
+                                           "channels", "n_frames",
+                                           "mean_milli", "abs_mean_milli",
+                                           "s_md5"])
+
+    return map_with_carry(df, binary_col, keep_cols, AUDIO_DECODE_SCHEMA,
+                          batch)
+
+
 def image_pixel_stats(payload: bytes | None) -> tuple:
     """Combined PNG+GIF pixel-stats kernel: (status, width, height,
     channels, mean_x1000, px_md5). Anything neither codec recognizes is
