@@ -640,6 +640,29 @@ def _q_robots_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("loc").alias("url"), "src_loc", "round")
 
 
+def _q_fetch_schedule_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Crawl-delay politeness scheduler (operators/robots.py
+    fetch_schedule: per-host URL slots + eta arithmetic over the SAME
+    winning-group walk as the rules parser), hash-verified: host
+    r{h}.example (h = doc_id % 20) declares Crawl-delay (1 + h % 5)
+    seconds, every doc contributes one URL, and the slot assignment is
+    a plain rank-by-url window the oracle replays with SQL
+    row_number()."""
+    from llmap_spark.operators.robots import fetch_schedule
+
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("concat('https://r', cast(doc_id % 20 as string), "
+               "'.example/d', cast(doc_id as string))").alias("url"))
+    hosts = spark.range(20).select(
+        F.expr("concat('r', cast(id as string), '.example')").alias("host"),
+        F.expr("concat('User-Agent: *\nCrawl-delay: ', "
+               "cast(1 + id % 5 as string), '\nDisallow: /tmp/')")
+        .alias("body"))
+    return fetch_schedule(urls, hosts).select(
+        "doc_id", "url", "fetch_host", "slot", "delay_ms", "eta_ms")
+
+
 def _q_lm_score_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet-style char-trigram LM quality scorer (operators/lm.py),
     hash-verified: the model table is planted ({'aba': 1500, 'bab': 2500}
@@ -2066,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_resize_planted": _q_multimodal_png_resize_planted,
         "multimodal_gif_decode_planted": _q_multimodal_gif_decode_planted,
         "multimodal_wav_decode_planted": _q_multimodal_wav_decode_planted,
+        "fetch_schedule_planted": _q_fetch_schedule_planted,
         # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -3491,6 +3515,26 @@ def oracle_sql() -> dict[str, str]:
                ELSE md5(repeat(chr(v) || chr(v + 1) || chr(v + 2), npx))
           END AS px_md5
         FROM p
+    """
+    d["fetch_schedule_planted"] = """
+        -- direct SQL replay: slot = rank by url within the host, delay
+        -- from the planted Crawl-delay arithmetic
+        WITH u AS (
+          SELECT doc_id,
+                 'https://r' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.example/d' || CAST(doc_id AS VARCHAR) AS url,
+                 'r' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+                   AS fetch_host,
+                 CAST((1 + (doc_id % 20) % 5) * 1000 AS int) AS delay_ms
+          FROM documents)
+        SELECT doc_id, url, fetch_host,
+               CAST(row_number() OVER (PARTITION BY fetch_host
+                                       ORDER BY url) - 1 AS int) AS slot,
+               delay_ms,
+               CAST((row_number() OVER (PARTITION BY fetch_host
+                                        ORDER BY url) - 1)
+                    * delay_ms AS bigint) AS eta_ms
+        FROM u
     """
     d["multimodal_wav_decode_planted"] = """
         -- constant mono 16-bit PCM: sample value c*257 with identical

@@ -39,25 +39,22 @@ MAX_ROBOTS_BYTES = 512_000   # RFC 9309 parse limit (500 KiB); total on more
 MAX_RULES_PER_HOST = 5_000   # defensive cap on pathological bodies
 
 
-def parse_robots(body: str | None, agent: str = "*") -> list[tuple[int, str]]:
-    """robots.txt text -> [(is_allow, pattern)] for the most specific
-    user-agent group that matches `agent` (longest agent token that is a
-    case-insensitive substring match wins; '*' group is the fallback).
-    Total: None/garbage yields [] (no rules = everything allowed).
-
-    Group semantics per RFC 9309: consecutive user-agent lines share the
-    rule block that follows (lines the parser does not recognize are
-    ignored and do not split the run); rules before any user-agent line
-    are ignored; ALL groups at the winning agent specificity are combined
-    (repeated 'User-agent: *' blocks act as one logical group).
-    """
+def _agent_groups(body: str | None):
+    """robots.txt text -> [(agents, rules, delay_ms)] per RFC 9309 group
+    semantics: consecutive user-agent lines share the rule block that
+    follows; unknown lines neither end an agent run nor split groups;
+    rules before any user-agent line are ignored. Crawl-delay (the de
+    facto extension) is captured per group as integer MILLISECONDS
+    (first valid value wins within a group; garbage ignored) without
+    ending an agent run, so the pinned shared-run semantics hold. The
+    SINGLE group walk parse_robots and crawl_delay_ms both consume."""
     if not body:
         return []
     body = body[:MAX_ROBOTS_BYTES]
-    agent_l = agent.lower()
-    groups: list[tuple[list[str], list[tuple[int, str]]]] = []
+    groups: list[tuple[list[str], list[tuple[int, str]], int | None]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[int, str]] = []
+    cur_delay: int | None = None
     in_agent_run = False
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -69,8 +66,8 @@ def parse_robots(body: str | None, agent: str = "*") -> list[tuple[int, str]]:
         if key == "user-agent":
             if not in_agent_run:
                 if cur_agents:
-                    groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                    groups.append((cur_agents, cur_rules, cur_delay))
+                cur_agents, cur_rules, cur_delay = [], [], None
                 in_agent_run = True
             cur_agents.append(val.lower())
         elif key in ("allow", "disallow"):
@@ -79,17 +76,29 @@ def parse_robots(body: str | None, agent: str = "*") -> list[tuple[int, str]]:
                 # empty Disallow means "allow everything" — no rule
                 if val:
                     cur_rules.append((1 if key == "allow" else 0, val))
-        # any other line (sitemap, crawl-delay, unknown) is IGNORED per
-        # RFC 9309 §2.2.3 — it neither ends an agent run nor separates
-        # groups ('User-agent: a / Crawl-delay: 1 / User-agent: b' is ONE
-        # shared group)
+        elif key == "crawl-delay":
+            # does NOT end the agent run (pinned: unknown/extension
+            # lines never split 'User-agent: a / ... / User-agent: b')
+            if cur_agents and cur_delay is None:
+                try:
+                    d = float(val)
+                    if 0 <= d <= 3600:
+                        cur_delay = int(d * 1000)
+                except ValueError:
+                    pass
+        # any other line (sitemap, unknown) is IGNORED per RFC 9309
+        # §2.2.3 — it neither ends an agent run nor separates groups
     if cur_agents:
-        groups.append((cur_agents, cur_rules))
-    # most specific agent match wins; ALL groups at the winning
-    # specificity are COMBINED (RFC 9309 §2.2.1 — repeated
-    # 'User-agent: *' blocks are one logical group)
+        groups.append((cur_agents, cur_rules, cur_delay))
+    return groups
+
+
+def _winning_groups(groups, agent: str):
+    """ALL groups at the winning agent specificity (longest matching
+    agent token; '*' is the fallback at score 0) — RFC 9309 §2.2.1."""
+    agent_l = agent.lower()
     best_score = -1
-    for agents, _ in groups:
+    for agents, _, _ in groups:
         for a in agents:
             if a == "*":
                 best_score = max(best_score, 0)
@@ -97,14 +106,90 @@ def parse_robots(body: str | None, agent: str = "*") -> list[tuple[int, str]]:
                 best_score = max(best_score, len(a))
     if best_score < 0:
         return []
-    merged: list[tuple[int, str]] = []
-    for agents, rules in groups:
+    out = []
+    for agents, rules, delay in groups:
         score = max((0 if a == "*" else len(a)) for a in agents
                     if a == "*" or (a and a in agent_l)) \
             if any(a == "*" or (a and a in agent_l) for a in agents) else -1
         if score == best_score:
-            merged.extend(rules)
+            out.append((agents, rules, delay))
+    return out
+
+
+def parse_robots(body: str | None, agent: str = "*") -> list[tuple[int, str]]:
+    """robots.txt text -> [(is_allow, pattern)] for the most specific
+    user-agent group that matches `agent` (longest agent token that is a
+    case-insensitive substring match wins; '*' group is the fallback).
+    Total: None/garbage yields [] (no rules = everything allowed).
+    Group semantics live in _agent_groups/_winning_groups (shared with
+    crawl_delay_ms — one walk, no drift)."""
+    merged: list[tuple[int, str]] = []
+    for _, rules, _ in _winning_groups(_agent_groups(body), agent):
+        merged.extend(rules)
     return merged[:MAX_RULES_PER_HOST]
+
+
+def crawl_delay_ms(body: str | None, agent: str = "*") -> int | None:
+    """Crawl-delay for `agent` in integer milliseconds, from the SAME
+    winning-specificity groups as parse_robots; when several winning
+    groups declare one, the MAXIMUM wins (the polite reading of an
+    ambiguous file). None when absent. Total."""
+    delays = [d for _, _, d in
+              _winning_groups(_agent_groups(body), agent) if d is not None]
+    return max(delays) if delays else None
+
+
+def fetch_schedule(urls_df: DataFrame, robots_df: DataFrame,
+                   agent: str = "*", default_delay_ms: int = 1000,
+                   max_per_host: int = 10_000, url_col: str = "url",
+                   host_col: str = "host",
+                   body_col: str = "body") -> DataFrame:
+    """Deterministic per-host politeness schedule — the planning half of
+    Crawl-delay: each host's URLs take slots 0..max_per_host-1 in URL
+    order and eta_ms = slot * the host's Crawl-delay (crawl_delay_ms;
+    `default_delay_ms` when the host declares none). Returns the input
+    columns + (fetch_host, slot, delay_ms, eta_ms); URLs beyond
+    max_per_host per host are DROPPED (a politeness budget, not a skew
+    accident — at delay 1s the default cap is ~3 hours of one host's
+    fetch time).
+
+    Compose AFTER filter_robots_disallowed — this operator schedules,
+    it does not re-check rules. Scale shape: the per-host delay frame is
+    one thin row per host (AQE-broadcastable); the slot assignment is a
+    rank-filtered window partitioned by host, which Spark's window-
+    group-limit pushes into per-partition partial sorts, bounding what a
+    hot host can buffer to max_per_host rows per task. The per-host
+    SERIALIZATION the slots express is inherent to politeness — the
+    point is that fetch order is deterministic and rate-bounded."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def delay_of(bodies: pd.Series) -> pd.Series:
+        return pd.Series([crawl_delay_ms(b, agent) for b in bodies],
+                         dtype="object")
+
+    delays = (_one_per_host(robots_df, host_col, body_col)
+              .select("host", delay_of(F.col("__robots_body"))
+                      .alias("__delay_ms")))
+    scheme_of = F.lower(F.regexp_extract(
+        F.col(url_col), r"(?i)^([a-z][a-z0-9+.-]*)://", 1))
+    host_of = _norm_host(F.regexp_extract(
+        F.col(url_col), r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+        scheme_col=scheme_of)
+    with_host = urls_df.withColumn("fetch_host", host_of)
+    joined = (with_host.join(
+        delays, with_host["fetch_host"] == delays["host"], "left")
+        .drop(delays["host"]))
+    w = Window.partitionBy("fetch_host").orderBy(F.col(url_col).asc())
+    return (joined
+            .withColumn("slot", F.row_number().over(w) - 1)
+            .filter(F.col("slot") < max_per_host)
+            .withColumn("delay_ms", F.coalesce(
+                F.col("__delay_ms"), F.lit(int(default_delay_ms))))
+            .withColumn("eta_ms",
+                        (F.col("slot") * F.col("delay_ms")).cast("long"))
+            .drop("__delay_ms"))
 
 
 MAX_SITEMAPS_PER_HOST = 100  # defensive cap on pathological bodies

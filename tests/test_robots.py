@@ -304,3 +304,70 @@ def test_robots_to_frontier_integration(spark):
 
     got = [(r.loc, r.round) for r in expand_frontier(seeds, fetch).collect()]
     assert got == [("https://x/p1", 1)]
+
+
+def test_crawl_delay_ms_kernel():
+    from llmap_spark.operators.robots import crawl_delay_ms
+
+    body = ("User-Agent: *\nCrawl-delay: 2\nDisallow: /x/\n"
+            "User-Agent: fastbot\nCrawl-delay: 0.5\nAllow: /\n")
+    assert crawl_delay_ms(body, "somebot") == 2000
+    assert crawl_delay_ms(body, "FastBot/9") == 500
+    # absent / garbage / out-of-range -> None
+    assert crawl_delay_ms("User-Agent: *\nDisallow: /", "b") is None
+    assert crawl_delay_ms("User-Agent: *\nCrawl-delay: nope", "b") is None
+    assert crawl_delay_ms("User-Agent: *\nCrawl-delay: 99999", "b") is None
+    assert crawl_delay_ms(None, "b") is None
+    # several winning groups: the polite MAX wins
+    two = ("User-agent: *\nCrawl-delay: 1\nDisallow: /a/\n\n"
+           "User-agent: *\nCrawl-delay: 3\nDisallow: /b/\n")
+    assert crawl_delay_ms(two, "bot") == 3000
+    # crawl-delay must not split a shared agent run (the pinned rule)
+    shared = "User-agent: a\nCrawl-delay: 4\nUser-agent: b\nDisallow: /x/\n"
+    assert crawl_delay_ms(shared, "a") == 4000
+    assert crawl_delay_ms(shared, "b") == 4000
+    assert not _decide(shared, "b", "/x/1")
+
+
+def test_fetch_schedule_slots_and_etas(spark):
+    from llmap_spark.operators.robots import fetch_schedule
+
+    robots_df = spark.createDataFrame(
+        [("slow.example", "User-Agent: *\nCrawl-delay: 5\nDisallow: /no/"),
+         ("fast.example", "User-Agent: *\nDisallow: /no/")],
+        "host string, body string")
+    urls = spark.createDataFrame(
+        [("https://slow.example/a",), ("https://slow.example/b",),
+         ("https://slow.example/c",), ("https://fast.example/z",),
+         ("https://nobots.example/q",)], "url string")
+    out = {r.url: r for r in fetch_schedule(
+        urls, robots_df, default_delay_ms=1000).collect()}
+    assert len(out) == 5
+    # slots follow url order within the host; etas are slot * delay
+    assert (out["https://slow.example/a"].slot,
+            out["https://slow.example/a"].eta_ms) == (0, 0)
+    assert (out["https://slow.example/b"].slot,
+            out["https://slow.example/b"].eta_ms) == (1, 5000)
+    assert (out["https://slow.example/c"].eta_ms) == 10000
+    # no declared delay / no robots row -> default
+    assert out["https://fast.example/z"].delay_ms == 1000
+    assert out["https://nobots.example/q"].delay_ms == 1000
+    assert out["https://nobots.example/q"].slot == 0
+
+
+def test_fetch_schedule_per_host_budget(spark):
+    from pyspark.sql import functions as F
+
+    from llmap_spark.operators.robots import fetch_schedule
+
+    robots_df = spark.createDataFrame(
+        [("h.example", "User-Agent: *\nCrawl-delay: 1")],
+        "host string, body string")
+    urls = spark.range(50).select(
+        F.expr("concat('https://h.example/p', lpad(cast(id as string), "
+               "3, '0'))").alias("url"))
+    out = fetch_schedule(urls, robots_df, max_per_host=10).collect()
+    assert len(out) == 10
+    assert sorted(r.slot for r in out) == list(range(10))
+    # deterministic: the KEPT urls are the 10 lexicographically first
+    assert max(r.url for r in out) == "https://h.example/p009"
