@@ -40,6 +40,13 @@ from llmap_spark.session import ensure_parallelism
 
 TOPK_SCHEMA = "query_id long, neighbor_id long, score double"
 
+# widen-the-corpus-scan threshold for brute_force_topk: estimated total
+# scoring flops (corpus rows x queries x dim) below which a single-task
+# kernel beats a round-robin exchange + full-width python worker fan-out
+# (A/B at 333 MFlops, sf0.1 bench: unwidened best 0.63 s vs widened
+# 0.98 s; crossover sits near ~0.5 GFlops of single-core BLAS + select)
+_WIDEN_FLOPS = 5e8
+
 
 def _as_matrix(rows: list, dim: int | None = None) -> np.ndarray:
     """Rows -> dense float64 matrix, TOTAL: a NULL or wrong-length
@@ -189,7 +196,7 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     import itertools
 
     max_blocks = 1024  # ~67M queries at the default block size
-    corpus_sel = ensure_parallelism(corpus.select(id_col, vec_col))
+    corpus_sel = corpus.select(id_col, vec_col)
     kk = k + (1 if exclude_self else 0)
     # One pass over the query side, one block in driver memory at a time.
     # Probe with a single bounded collect first: toLocalIterator fetches
@@ -200,6 +207,28 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     # re-read from the iterator; the probe rows are discarded).
     q_sel = queries.select(id_col, vec_col)
     probe = q_sel.limit(max_query_rows + 1).collect()
+    # Widen a single-split corpus scan (the standing Python-UDF guard)
+    # ONLY when the scoring work is worth an exchange: the probe fixes
+    # nq and dim, and the optimizer's sizeInBytes estimate (planning-
+    # only, no job) bounds the corpus rows a SINGLE-split scan can hold,
+    # so est_flops ~ rows * nq * dim is known before any execution.
+    # Below _WIDEN_FLOPS the round-robin exchange + 32 python workers
+    # cost more than they save (A/B in the constant's comment). Any
+    # stats failure or a multi-block query side falls back to widening
+    # (the safe default: at scale the corpus is multi-split and
+    # ensure_parallelism is a no-op anyway).
+    widen = True
+    if len(probe) <= max_query_rows:
+        try:
+            dim = next((len(r[1]) for r in probe if r[1] is not None), 0)
+            est_bytes = int(corpus_sel._jdf.queryExecution()
+                            .optimizedPlan().stats().sizeInBytes())
+            est_rows = est_bytes // max(1, dim * 4)
+            widen = est_rows * len(probe) * max(1, dim) > _WIDEN_FLOPS
+        except Exception:
+            widen = True
+    if widen:
+        corpus_sel = ensure_parallelism(corpus_sel)
     corpus_persisted = False
     if len(probe) <= max_query_rows:
         it = iter(probe)
