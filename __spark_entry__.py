@@ -563,9 +563,25 @@ def _q_frontier_iterative_planted(spark: SparkSession, sf_dir: str) -> DataFrame
         "concat('https://s', cast(doc_id as string), "
         "'.example/sitemap.xml')").alias("loc"))
 
+    out = expand_frontier(seeds, _planted_tree_fetch(), max_rounds=4)
+    return out.select(
+        F.regexp_extract("src_loc", r"https://s(\d+)\.example", 1)
+        .cast("long").alias("doc_id"),
+        F.col("loc").alias("url"), "src_loc", "round")
+
+
+def _planted_tree_fetch(extra: bool = False):
+    """The deterministic fetch seam both frontier queries share: doc
+    d's root index lists children c in 0..d%2; child c's urlset lists
+    pages u in 1..1+(d+c)%2. With extra=True, '/extra.xml' locs resolve
+    to a one-page urlset (the robots_sitemap_frontier round-1 arm)."""
     def fetch(frontier: DataFrame) -> DataFrame:
         d = "cast(regexp_extract(loc, 'https://s(\\\\d+)\\\\.example', 1) as bigint)"
         c = "cast(regexp_extract(loc, 'child(\\\\d+)\\\\.xml', 1) as bigint)"
+        extra_arm = (
+            f"WHEN loc LIKE '%/extra.xml' THEN "
+            f"concat('<urlset><url><loc>https://s', cast({d} as string), "
+            f"'.example/page-extra</loc></url></urlset>') " if extra else "")
         body = F.expr(
             f"cast(CASE WHEN loc LIKE '%/sitemap.xml' THEN "
             f"concat('<sitemapindex>', array_join(transform("
@@ -573,6 +589,7 @@ def _q_frontier_iterative_planted(spark: SparkSession, sf_dir: str) -> DataFrame
             f"'<sitemap><loc>https://s', cast({d} as string), "
             f"'.example/child', cast(c as string), '.xml</loc></sitemap>'"
             f")), ''), '</sitemapindex>') "
+            f"{extra_arm}"
             f"ELSE concat('<urlset>', array_join(transform("
             f"sequence(1, 1 + ({d} + {c}) % 2), u -> concat("
             f"'<url><loc>https://s', cast({d} as string), "
@@ -581,11 +598,7 @@ def _q_frontier_iterative_planted(spark: SparkSession, sf_dir: str) -> DataFrame
             f"END as binary)")
         return frontier.withColumn("body", body)
 
-    out = expand_frontier(seeds, fetch, max_rounds=4)
-    return out.select(
-        F.regexp_extract("src_loc", r"https://s(\d+)\.example", 1)
-        .cast("long").alias("doc_id"),
-        F.col("loc").alias("url"), "src_loc", "round")
+    return fetch
 
 
 def _q_robots_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,29 +624,8 @@ def _q_robots_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'\nSitemap: https://s', cast(doc_id as string), "
             "'.example/extra.xml') ELSE '' END)").alias("body"))
     seeds = robots_sitemaps(robots).select("loc")
-
-    def fetch(frontier: DataFrame) -> DataFrame:
-        d = "cast(regexp_extract(loc, 'https://s(\\\\d+)\\\\.example', 1) as bigint)"
-        c = "cast(regexp_extract(loc, 'child(\\\\d+)\\\\.xml', 1) as bigint)"
-        body = F.expr(
-            f"cast(CASE WHEN loc LIKE '%/sitemap.xml' THEN "
-            f"concat('<sitemapindex>', array_join(transform("
-            f"sequence(0, {d} % 2), c -> concat("
-            f"'<sitemap><loc>https://s', cast({d} as string), "
-            f"'.example/child', cast(c as string), '.xml</loc></sitemap>'"
-            f")), ''), '</sitemapindex>') "
-            f"WHEN loc LIKE '%/extra.xml' THEN "
-            f"concat('<urlset><url><loc>https://s', cast({d} as string), "
-            f"'.example/page-extra</loc></url></urlset>') "
-            f"ELSE concat('<urlset>', array_join(transform("
-            f"sequence(1, 1 + ({d} + {c}) % 2), u -> concat("
-            f"'<url><loc>https://s', cast({d} as string), "
-            f"'.example/page-c', cast({c} as string), '-u', "
-            f"cast(u as string), '</loc></url>')), ''), '</urlset>') "
-            f"END as binary)")
-        return frontier.withColumn("body", body)
-
-    out = expand_frontier(seeds, fetch, max_rounds=4)
+    out = expand_frontier(seeds, _planted_tree_fetch(extra=True),
+                          max_rounds=4)
     return out.select(
         F.regexp_extract("src_loc", r"https://s(\d+)\.example", 1)
         .cast("long").alias("doc_id"),

@@ -346,10 +346,8 @@ def image_pixel_stats(payload: bytes | None) -> tuple:
     """Combined PNG+GIF pixel-stats kernel: (status, width, height,
     channels, mean_x1000, px_md5). Anything neither codec recognizes is
     'undecodable' (the JPEG/WebP seam) — total, never raises."""
-    import hashlib
-
     from llmap_spark.gif import decode_gif
-    from llmap_spark.png import decode_png, png_pixel_stats
+    from llmap_spark.png import pixel_stats_of, png_pixel_stats
 
     st = png_pixel_stats(payload)
     if st[0] != "not_png":
@@ -359,10 +357,8 @@ def image_pixel_stats(payload: bytes | None) -> tuple:
         return ("undecodable", None, None, None, None, None)
     if g.status != "ok":
         return (g.status, g.width, g.height, None, None, None)
-    a = np.frombuffer(g.pixels, dtype=np.uint8)
-    mean_x1000 = int(a.sum(dtype=np.int64)) * 1000 // a.size if a.size else 0
-    return (g.status, g.width, g.height, g.channels, mean_x1000,
-            hashlib.md5(g.pixels).hexdigest())
+    mean_x1000, md5_ = pixel_stats_of(g.pixels)
+    return (g.status, g.width, g.height, g.channels, mean_x1000, md5_)
 
 
 def with_image_decode(df: DataFrame, binary_col: str,

@@ -383,13 +383,11 @@ def make_jpeg(width: int, height: int, precision: int = 8) -> bytes:
 
 def make_wav(sample_rate: int, channels: int = 1, bits: int = 16,
              n_frames: int = 4) -> bytes:
-    block = channels * bits // 8
-    data = b"\x00" * (n_frames * block)
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
-                      sample_rate * block, block, bits)
-    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data)
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    # zero-filled frames through the one RIFF/WAVE writer (audio.py)
+    from llmap_spark.audio import encode_wav
+
+    return encode_wav(b"\x00" * (n_frames * channels * bits // 8),
+                      sample_rate, channels, bits)
 
 
 def make_mp4(width: int, height: int, duration_ms: int,

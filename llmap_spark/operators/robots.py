@@ -139,6 +139,18 @@ def crawl_delay_ms(body: str | None, agent: str = "*") -> int | None:
     return max(delays) if delays else None
 
 
+def _url_host(url_col: str):
+    """Normalized authority of a URL column — the scheme-aware host key
+    both the gate and the scheduler join on (one definition; case-
+    insensitive scheme, userinfo stripped, the SCHEME'S default port
+    stripped per _norm_host)."""
+    scheme_of = F.lower(F.regexp_extract(
+        F.col(url_col), r"(?i)^([a-z][a-z0-9+.-]*)://", 1))
+    return _norm_host(F.regexp_extract(
+        F.col(url_col), r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+        scheme_col=scheme_of)
+
+
 def fetch_schedule(urls_df: DataFrame, robots_df: DataFrame,
                    agent: str = "*", default_delay_ms: int = 1000,
                    max_per_host: int = 10_000, url_col: str = "url",
@@ -172,12 +184,7 @@ def fetch_schedule(urls_df: DataFrame, robots_df: DataFrame,
     delays = (_one_per_host(robots_df, host_col, body_col)
               .select("host", delay_of(F.col("__robots_body"))
                       .alias("__delay_ms")))
-    scheme_of = F.lower(F.regexp_extract(
-        F.col(url_col), r"(?i)^([a-z][a-z0-9+.-]*)://", 1))
-    host_of = _norm_host(F.regexp_extract(
-        F.col(url_col), r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
-        scheme_col=scheme_of)
-    with_host = urls_df.withColumn("fetch_host", host_of)
+    with_host = urls_df.withColumn("fetch_host", _url_host(url_col))
     joined = (with_host.join(
         delays, with_host["fetch_host"] == delays["host"], "left")
         .drop(delays["host"]))
@@ -368,14 +375,7 @@ def filter_robots_disallowed(urls_df: DataFrame, robots_df: DataFrame,
 
     rules = robots_rules(robots_df, agent, host_col, body_col) \
         .withColumnRenamed("rules", "__robots_rules")
-    # scheme match is case-insensitive ('HTTPS://' is a valid URL); the
-    # scheme feeds _norm_host so only the SCHEME'S default port strips
-    scheme_of = F.lower(F.regexp_extract(
-        F.col(url_col), r"(?i)^([a-z][a-z0-9+.-]*)://", 1))
-    host_of = _norm_host(F.regexp_extract(
-        F.col(url_col), r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
-        scheme_col=scheme_of)
-    with_host = urls_df.withColumn("__robots_host", host_of)
+    with_host = urls_df.withColumn("__robots_host", _url_host(url_col))
     joined = with_host.join(
         rules, with_host["__robots_host"] == rules["host"], "left") \
         .drop(rules["host"])

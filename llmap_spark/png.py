@@ -198,20 +198,27 @@ def resample_nearest(pixels: bytes, width: int, height: int,
     return a[yi][:, xi].tobytes()
 
 
+def pixel_stats_of(pixels: bytes) -> tuple[int, str]:
+    """(mean_x1000, md5 hex) of a raw 8-bit pixel byte stream — the ONE
+    definition of the integer mean (floor of sum*1000 // count) shared
+    by the PNG and GIF stats kernels, so the oracle arithmetic cannot
+    drift between formats."""
+    import hashlib
+
+    a = np.frombuffer(pixels, dtype=np.uint8)
+    mean_x1000 = int(a.sum(dtype=np.int64)) * 1000 // a.size if a.size else 0
+    return mean_x1000, hashlib.md5(pixels).hexdigest()
+
+
 def png_pixel_stats(data: bytes | None) -> tuple[str, int | None,
                                                  int | None, int | None,
                                                  int | None, str | None]:
     """(status, width, height, channels, mean_x1000, px_md5): the
-    integer-exact summary the driver oracle verifies. mean_x1000 is the
-    floor of the mean pixel value x1000 (integer arithmetic: sum*1000
-    // count); px_md5 is the md5 hex of the raw decoded pixel bytes."""
-    import hashlib
-
+    integer-exact summary the driver oracle verifies (see
+    pixel_stats_of for the arithmetic)."""
     img = decode_png(data)
     if img.status != "ok":
         return (img.status, img.width, img.height, None, None, None)
-    a = np.frombuffer(img.pixels, dtype=np.uint8)
-    total = int(a.sum(dtype=np.int64))
-    mean_x1000 = total * 1000 // a.size if a.size else 0
+    mean_x1000, md5_ = pixel_stats_of(img.pixels)
     return (img.status, img.width, img.height, img.channels, mean_x1000,
-            hashlib.md5(img.pixels).hexdigest())
+            md5_)
