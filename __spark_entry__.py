@@ -419,6 +419,26 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
+def _q_token_count_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware token counting (textstats.token_count_script_aware:
+    whitespace tokens + one per CJK codepoint — unsegmented scripts
+    no longer count a sentence as one token), hash-verified by
+    construction: 'alpha beta gamma' + k CJK chars (k = doc_id % 9,
+    script cycling han/kana/hangul by doc_id % 3) + ' delta tail'
+    counts exactly 5 + k."""
+    from llmap_spark.operators.textstats import token_count_script_aware
+
+    c = F.expr("CASE cast(doc_id % 3 as int) WHEN 0 THEN '的' "
+               "WHEN 1 THEN 'の' ELSE '한' END")
+    text2 = F.concat(F.lit("alpha beta gamma"),
+                     F.repeat(c, (F.col("doc_id") % 9).cast("int")),
+                     F.lit(" delta tail"))
+    d = _docs(spark, sf_dir).select("doc_id", text2.alias("text"))
+    return d.select(
+        "doc_id",
+        token_count_script_aware(F.col("text")).alias("n_tokens_sa"))
+
+
 def _q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llmap_spark.operators.textstats import token_count_bpe
 
@@ -2082,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_decode_planted": _q_multimodal_gif_decode_planted,
         "multimodal_wav_decode_planted": _q_multimodal_wav_decode_planted,
         "fetch_schedule_planted": _q_fetch_schedule_planted,
+        "token_count_cjk": _q_token_count_cjk,
         # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -3507,6 +3528,11 @@ def oracle_sql() -> dict[str, str]:
                ELSE md5(repeat(chr(v) || chr(v + 1) || chr(v + 2), npx))
           END AS px_md5
         FROM p
+    """
+    d["token_count_cjk"] = """
+        -- 'alpha beta gamma' + k CJK chars + ' delta tail' = 5 + k
+        SELECT doc_id, CAST(5 + doc_id % 9 AS int) AS n_tokens_sa
+        FROM documents
     """
     d["fetch_schedule_planted"] = """
         -- direct SQL replay: slot = rank by url within the host, delay

@@ -45,6 +45,26 @@ def token_count(col: Column) -> Column:
     ).cast("int")
 
 
+# CJK codepoint classes (Kana + Han incl. ext-A + Hangul syllables):
+# scripts written WITHOUT spaces, where a whitespace counter sees a
+# whole sentence as one token
+CJK_CLASS = "[぀-ヿ㐀-䶿一-鿿가-힯]"
+
+
+def token_count_script_aware(col: Column) -> Column:
+    """Whitespace token count that doesn't collapse CJK text: tokens =
+    whitespace tokens of the text with CJK codepoints blanked out, plus
+    one token per CJK codepoint (the standard ~1-token-per-character
+    approximation for unsegmented scripts — the same convention BPE
+    vocabularies roughly realize). Pure JVM arithmetic: the CJK count is
+    a length difference, the remainder reuses token_count; mixed-script
+    documents therefore count each part by its own script's rule."""
+    n_cjk = F.length(col) - F.length(
+        F.regexp_replace(col, CJK_CLASS, ""))
+    return (token_count(F.regexp_replace(col, CJK_CLASS, " "))
+            + n_cjk).cast("int")
+
+
 # BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs.
 # Deliberately ASCII-only so Java regex (Spark), RE2 (DuckDB), and Python
 # `re` agree exactly — the portable stand-in for a real BPE vocab count.

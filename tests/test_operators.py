@@ -1115,3 +1115,29 @@ def test_greedy_pack_zero_sizes_and_nan_totality():
     assert greedy_pack([0, 0, 5, 20, 3], 10) == [0, 0, 0, 1, 2]
     # None/NaN count as zero instead of poisoning the accumulator
     assert greedy_pack([5, None, 6, float("nan"), 6], 10) == [0, 0, 1, 1, 2]
+
+
+def test_token_count_script_aware(spark):
+    """CJK codepoints count one token each; space-delimited parts keep
+    the whitespace rule; mixed documents count each part by its script."""
+    from pyspark.sql import functions as F
+
+    from llmap_spark.operators.textstats import token_count_script_aware
+
+    cases = [
+        (0, "hello world", 2),
+        (1, "这是一个测试", 6),              # 6 han chars, no spaces
+        (2, "hello 这是 world", 4),          # 2 ws tokens + 2 han... plus
+        (3, "これはテスト", 6),              # kana
+        (4, "한국어문장", 5),                # hangul
+        (5, "", 0),
+        (6, "   ", 0),
+        (7, "mixed 中文 and ひらがな end", 3 + 2 + 4),  # 3 words + 6 cjk
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases],
+                               "id long, text string")
+    got = {r.id: r.n for r in df.select(
+        "id", token_count_script_aware(F.col("text")).alias("n")).collect()}
+    # case 2: 'hello', 'world' + 2 han chars = 4
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
