@@ -3545,14 +3545,18 @@ def oracle_sql() -> dict[str, str]:
                    AS fetch_host,
                  CAST((1 + (doc_id % 20) % 5) * 1000 AS int) AS delay_ms
           FROM documents)
-        SELECT doc_id, url, fetch_host,
-               CAST(row_number() OVER (PARTITION BY fetch_host
-                                       ORDER BY url) - 1 AS int) AS slot,
-               delay_ms,
-               CAST((row_number() OVER (PARTITION BY fetch_host
-                                        ORDER BY url) - 1)
-                    * delay_ms AS bigint) AS eta_ms
-        FROM u
+        SELECT * FROM (
+          SELECT doc_id, url, fetch_host,
+                 CAST(row_number() OVER (PARTITION BY fetch_host
+                                         ORDER BY url) - 1 AS int) AS slot,
+                 delay_ms,
+                 CAST((row_number() OVER (PARTITION BY fetch_host
+                                          ORDER BY url) - 1)
+                      * delay_ms AS bigint) AS eta_ms
+          FROM u)
+        -- replay the operator's max_per_host budget (default 10000) so
+        -- the twin cannot desync at a tier where a host exceeds it
+        WHERE slot < 10000
     """
     d["multimodal_wav_decode_planted"] = """
         -- constant mono 16-bit PCM: sample value c*257 with identical

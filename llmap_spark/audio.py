@@ -66,9 +66,14 @@ def decode_wav(data: bytes | None) -> WavAudio:
         ch = int.from_bytes(fmt[2:4], "little")
         sr = int.from_bytes(fmt[4:8], "little")
         bits = int.from_bytes(fmt[14:16], "little")
+        if sr > 0x7FFFFFFF:
+            # the raw field is 32-bit unsigned; an int32 Arrow column
+            # must never see a value it cannot hold (one corrupt row
+            # would kill the whole decode job at the serializer)
+            sr = None
         if audio_format != 1:
             return _fail("unsupported_format", sr, ch, bits)
-        if bits not in (8, 16) or ch == 0:
+        if bits not in (8, 16) or ch == 0 or sr is None:
             return _fail("unsupported_layout", sr, ch, bits)
         if pcm is None:
             return _fail("truncated", sr, ch, bits)
@@ -83,15 +88,12 @@ def decode_wav(data: bytes | None) -> WavAudio:
 
 def encode_wav(samples: bytes, sample_rate: int, channels: int = 1,
                bits: int = 16) -> bytes:
-    """Raw interleaved PCM bytes -> valid RIFF/WAVE (format 1)."""
-    import struct
+    """Raw interleaved PCM bytes -> valid RIFF/WAVE (format 1). The
+    byte layout lives in media_meta.wav_bytes (stdlib-only module) so
+    the header kernel never imports numpy through this one."""
+    from llmap_spark.media_meta import wav_bytes
 
-    block = channels * bits // 8
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
-                      sample_rate * block, block, bits)
-    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(samples)) + samples)
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return wav_bytes(samples, sample_rate, channels, bits)
 
 
 def wav_sample_stats(data: bytes | None) -> tuple:

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 MAX_PIXELS = 64_000_000
 
 
@@ -172,23 +174,30 @@ def decode_gif(data: bytes | None) -> GifImage:
                         src += 1
                 idx = b"".join(r if r is not None else b"\x00" * fw
                                for r in ordered)
-            npal = len(ct) // 3
-
-            def rgb(j: int) -> bytes:
-                j = min(j, npal - 1)
-                return ct[3 * j:3 * j + 3]
-
+            # vectorized palette expansion (the PNG kernel's fancy-index
+            # form — a per-pixel Python join was minutes per 64 MP frame)
+            pal = np.frombuffer(
+                ct[:3 * (len(ct) // 3)], dtype=np.uint8).reshape(-1, 3)
+            ia = np.minimum(np.frombuffer(idx, dtype=np.uint8),
+                            len(pal) - 1)
+            frame = pal[ia].reshape(fh, fw, 3)
             if (fx, fy, fw, fh) == (0, 0, w, h):
-                px = b"".join(rgb(j) for j in idx)
-                return GifImage("ok", w, h, 3, px)
-            # compose the frame onto a background-filled canvas
-            canvas = bytearray(rgb(bg) * (w * h))
-            for y in range(min(fh, max(0, h - fy))):
-                row = idx[y * fw:(y + 1) * fw]
-                for x in range(min(fw, max(0, w - fx))):
-                    o = 3 * ((fy + y) * w + fx + x)
-                    canvas[o:o + 3] = rgb(row[x])
-            return GifImage("ok", w, h, 3, bytes(canvas))
+                return GifImage("ok", w, h, 3, frame.tobytes())
+            # compose the frame onto a background-filled canvas. The
+            # Background Color Index is defined against the GLOBAL color
+            # table (GIF89a spec), NOT the frame's local table; no GCT ->
+            # black (the index is meaningless without one).
+            if gct is not None and len(gct) >= 3 * (bg + 1):
+                bg_rgb = np.frombuffer(gct[3 * bg:3 * bg + 3],
+                                       dtype=np.uint8)
+            else:
+                bg_rgb = np.zeros(3, dtype=np.uint8)
+            canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+            vh = min(fh, max(0, h - fy))
+            vw = min(fw, max(0, w - fx))
+            if vh > 0 and vw > 0:
+                canvas[fy:fy + vh, fx:fx + vw] = frame[:vh, :vw]
+            return GifImage("ok", w, h, 3, canvas.tobytes())
         return _fail("truncated", w, h)
     except Exception:
         return _fail("corrupt")

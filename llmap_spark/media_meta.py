@@ -381,13 +381,25 @@ def make_jpeg(width: int, height: int, precision: int = 8) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
+def wav_bytes(samples: bytes, sample_rate: int, channels: int = 1,
+              bits: int = 16) -> bytes:
+    """The ONE RIFF/WAVE (format 1) writer — stdlib-only so this module
+    keeps its no-dependency kernel contract; llmap_spark.audio's
+    encode_wav delegates here (audio.py needs numpy for stats, and
+    importing it from make_wav would drag numpy into a header-only
+    module)."""
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(samples)) + samples)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def make_wav(sample_rate: int, channels: int = 1, bits: int = 16,
              n_frames: int = 4) -> bytes:
-    # zero-filled frames through the one RIFF/WAVE writer (audio.py)
-    from llmap_spark.audio import encode_wav
-
-    return encode_wav(b"\x00" * (n_frames * channels * bits // 8),
-                      sample_rate, channels, bits)
+    return wav_bytes(b"\x00" * (n_frames * channels * bits // 8),
+                     sample_rate, channels, bits)
 
 
 def make_mp4(width: int, height: int, duration_ms: int,

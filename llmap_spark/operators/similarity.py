@@ -40,12 +40,13 @@ from llmap_spark.session import ensure_parallelism
 
 TOPK_SCHEMA = "query_id long, neighbor_id long, score double"
 
-# widen-the-corpus-scan threshold for brute_force_topk: estimated total
-# scoring flops (corpus rows x queries x dim) below which a single-task
-# kernel beats a round-robin exchange + full-width python worker fan-out
-# (A/B at 333 MFlops, sf0.1 bench: unwidened best 0.63 s vs widened
-# 0.98 s; crossover sits near ~0.5 GFlops of single-core BLAS + select)
-_WIDEN_FLOPS = 5e8
+# widen-the-corpus-scan threshold for brute_force_topk, in PADDED
+# estimate units: (stats bytes / 4 floats) x queries x 2 (compression
+# allowance — see the in-function comment). The A/B at 333 true MFlops
+# (~666M padded; sf0.1 bench) measured unwidened best 0.63 s vs widened
+# 0.98 s; the true crossover sits near ~0.5 GFlops of single-core BLAS
+# + select, i.e. ~1e9 in padded units
+_WIDEN_FLOPS = 1e9
 
 
 def _as_matrix(rows: list, dim: int | None = None) -> np.ndarray:
@@ -209,22 +210,26 @@ def brute_force_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     probe = q_sel.limit(max_query_rows + 1).collect()
     # Widen a single-split corpus scan (the standing Python-UDF guard)
     # ONLY when the scoring work is worth an exchange: the probe fixes
-    # nq and dim, and the optimizer's sizeInBytes estimate (planning-
-    # only, no job) bounds the corpus rows a SINGLE-split scan can hold,
-    # so est_flops ~ rows * nq * dim is known before any execution.
-    # Below _WIDEN_FLOPS the round-robin exchange + 32 python workers
-    # cost more than they save (A/B in the constant's comment). Any
-    # stats failure or a multi-block query side falls back to widening
-    # (the safe default: at scale the corpus is multi-split and
-    # ensure_parallelism is a no-op anyway).
+    # nq, and the optimizer's sizeInBytes (planning-only, no job)
+    # ESTIMATES the corpus volume — for parquet it is the compressed
+    # on-disk size, so it can under-count rows of a compressible
+    # corpus. Work per stored float is nq mults, so est_flops ~
+    # (bytes/4) * nq, padded by a 2x compression allowance (float
+    # embeddings barely compress; the pad tightens the skip against
+    # degenerate constant-vector corpora). Below _WIDEN_FLOPS the
+    # round-robin exchange + 32 python workers cost more than they save
+    # (A/B in the constant's comment). Any stats failure or a
+    # multi-block query side falls back to widening (the safe default:
+    # at scale the corpus is multi-split and ensure_parallelism is a
+    # no-op anyway), and the worst possible mistake is bounded — the
+    # skip can only happen for a sub-single-split file whose padded
+    # estimate is under ~0.5 GFlops.
     widen = True
     if len(probe) <= max_query_rows:
         try:
-            dim = next((len(r[1]) for r in probe if r[1] is not None), 0)
             est_bytes = int(corpus_sel._jdf.queryExecution()
                             .optimizedPlan().stats().sizeInBytes())
-            est_rows = est_bytes // max(1, dim * 4)
-            widen = est_rows * len(probe) * max(1, dim) > _WIDEN_FLOPS
+            widen = (est_bytes // 2) * len(probe) > _WIDEN_FLOPS
         except Exception:
             widen = True
     if widen:

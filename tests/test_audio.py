@@ -91,3 +91,20 @@ def test_spark_audio_decode_op(spark):
     assert out[0].s_md5 == hashlib.md5(s).hexdigest()
     assert out[1].status == "not_wav" and out[1].s_md5 is None
     assert out[2].status == "not_wav"
+
+
+def test_hostile_sample_rate_stays_int32_safe(spark):
+    """A 32-bit sample_rate field beyond int32 must yield a typed status
+    with a NULL rate — not crash the Arrow serializer of the whole job
+    (review finding: one corrupt row killed the decode stage)."""
+    from llmap_spark.functions.multimodal import with_audio_decode
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 4_000_000_000 % (1 << 32), 0, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    hostile = b"RIFF" + struct.pack("<I", len(body)) + body
+    a = decode_wav(hostile)
+    assert a.status == "unsupported_layout" and a.sample_rate is None
+    df = spark.createDataFrame([(0, hostile)], "id long, payload binary")
+    rows = with_audio_decode(df, "payload", keep_cols=("id",)).collect()
+    assert rows[0].status == "unsupported_layout"

@@ -116,3 +116,28 @@ def test_spark_image_decode_op_png_and_gif(spark):
     assert out[1].px_md5 == hashlib.md5(pal[0:3] * 6).hexdigest()
     assert out[2].status == "undecodable"
     assert out[3].status == "undecodable"
+
+
+def test_background_uses_global_table_not_local():
+    """GIF89a defines the Background Color Index against the GLOBAL
+    color table; a sub-canvas frame with a LOCAL table must not leak
+    local colors into the background fill (review-found bug)."""
+    gct = bytes([255, 0, 0, 0, 255, 0])          # red, green
+    lct = bytes([0, 0, 255, 255, 255, 255])      # blue, white
+    inner = encode_gif(bytes([1] * 4), 2, 2, lct)
+    # rebuild: 4x3 canvas with GCT, bg index 0 (red), frame at (1,1)
+    # with its own local table
+    lsd = (b"GIF89a" + (4).to_bytes(2, "little") + (3).to_bytes(2, "little")
+           + bytes([0x80, 0, 0]) + gct)
+    desc = (b"\x2c" + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+            + bytes([0x80]))  # local color table flag, size 0 -> 2 entries
+    inner_desc_off = 13 + 6
+    rest = inner[inner_desc_off + 10:]  # min_code + blocks + trailer
+    g = decode_gif(lsd + desc + lct + rest)
+    assert g.status == "ok"
+    red, white = gct[0:3], lct[3:6]
+    rows = [g.pixels[y * 12:(y + 1) * 12] for y in range(3)]
+    assert rows[0] == red * 4                      # background = GCT[0]
+    assert rows[1] == red + white + white + red    # frame = LOCAL table
+    assert rows[2] == red + white + white + red

@@ -192,3 +192,18 @@ def test_spark_png_decode_op(spark):
     assert out[3].status == "not_png"
     # same kernel as the single-process path (no-fork rule)
     assert png_pixel_stats(rows[0][1])[4] == 50_000
+
+
+def test_hostile_ihdr_dims_stay_int32_safe(spark):
+    """IHDR dims beyond int32 must come back NULL in the typed failure
+    row, not crash the Arrow serializer (review finding)."""
+    from llmap_spark.functions.multimodal import with_png_decode
+
+    ihdr = struct.pack(">IIBBBBB", 0xF0000000, 7, 8, 0, 0, 0, 0)
+    png = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    img = decode_png(png)
+    assert img.status == "unsupported_size"
+    assert img.width is None and img.height == 7
+    df = spark.createDataFrame([(0, png)], "id long, payload binary")
+    rows = with_png_decode(df, "payload", keep_cols=("id",)).collect()
+    assert rows[0].status == "unsupported_size" and rows[0].width is None
