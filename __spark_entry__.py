@@ -1761,6 +1761,37 @@ def _q_multimodal_wav_decode_planted(spark: SparkSession,
     return with_audio_decode(payloads, "payload", keep_cols=("doc_id",))
 
 
+def _q_multimodal_jpeg_decode_planted(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode (llmap_spark.jpeg: Huffman + dequant +
+    IDCT), hash-verified like the PNG/GIF twins: constant GRAYSCALE
+    images under the all-ones quant table are LOSSLESS through the full
+    entropy/DCT pipeline (DC-only spectrum), so v = 32 + d%93 planted
+    pixels reproduce exactly and the decoded stats are chr/repeat
+    arithmetic. The encode side exercises the Huffman writer, the
+    distributed decode the reader + IDCT."""
+    import pandas as pd
+
+    from llmap_spark.functions.multimodal import with_image_decode
+    from llmap_spark.jpeg import encode_jpeg
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf_ in batches:
+            payloads = []
+            for d in pdf_["doc_id"]:
+                d = int(d)
+                w, h, v = 1 + d % 31, 1 + d % 23, 32 + d % 93
+                payloads.append(encode_jpeg(bytes([v]) * (w * h),
+                                            w, h, 1))
+            yield pd.DataFrame({"doc_id": pdf_["doc_id"],
+                                "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return with_image_decode(payloads, "payload", keep_cols=("doc_id",))
+
+
 def _q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4 (ISO-BMFF) header metadata, driver-verified: every doc is
     rendered as a minimal ftyp+moov(mvhd+trak(tkhd)) file with planted
@@ -2103,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_decode_planted": _q_multimodal_wav_decode_planted,
         "fetch_schedule_planted": _q_fetch_schedule_planted,
         "token_count_cjk": _q_token_count_cjk,
+        "multimodal_jpeg_decode_planted": _q_multimodal_jpeg_decode_planted,
         # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -3527,6 +3559,22 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN doc_id % 2 = 0 THEN md5(repeat(chr(v), npx))
                ELSE md5(repeat(chr(v) || chr(v + 1) || chr(v + 2), npx))
           END AS px_md5
+        FROM p
+    """
+    d["multimodal_jpeg_decode_planted"] = """
+        -- constant grayscale under all-ones quant is lossless: v, dims
+        -- and the decoded pixel md5 are pure arithmetic
+        WITH p AS (
+          SELECT doc_id,
+                 CAST(1 + doc_id % 31 AS int) AS width,
+                 CAST(1 + doc_id % 23 AS int) AS height,
+                 CAST(32 + doc_id % 93 AS int) AS v,
+                 (1 + doc_id % 31) * (1 + doc_id % 23) AS npx
+          FROM documents)
+        SELECT doc_id, 'ok' AS status, width, height,
+          CAST(1 AS int) AS channels,
+          CAST(v * 1000 AS int) AS mean_x1000,
+          md5(repeat(chr(v), npx)) AS px_md5
         FROM p
     """
     d["token_count_cjk"] = """

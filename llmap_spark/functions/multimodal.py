@@ -7,14 +7,17 @@ decode story is now split by what the environment can actually do:
 
   * `sniff_media_type` is pure JVM expression (magic-byte prefix match);
   * PNG pixel decode / resample / re-encode are REAL (llmap_spark.png:
-    stdlib zlib inflate + numpy unfilter, all five scanline filters) —
-    `decode_image`, `resize_image` and `with_png_decode` run them;
+    stdlib zlib inflate + numpy unfilter, all five scanline filters),
+    as are GIF (llmap_spark.gif: pure-stdlib LZW) and baseline JPEG
+    (llmap_spark.jpeg: Huffman + dequant + numpy IDCT) —
+    `decode_image`, `resize_image`, `with_png_decode` and
+    `with_image_decode` run them;
   * `with_pdf_text` / `extract_any`'s PDF branch are REAL: stdlib text-layer
     extraction via llmap_spark.pdf (zlib FlateDecode + content-stream
     text-show operators);
-  * JPEG/WebP/GIF pixel decode still needs entropy codecs this container
-    does not ship: `decode_image`/`resize_image` raise the documented
-    NotImplementedError for those, and `media_features` remains the
+  * only WebP's VP8 entropy coder remains codec-bound:
+    `decode_image`/`resize_image` raise the documented
+    NotImplementedError for it, and `media_features` remains the
     clearly-marked deterministic fake with the real mapInPandas shape
     (header METADATA for every format is real — llmap_spark.media_meta).
 
@@ -272,11 +275,14 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 
 
 def decode_image(payload: bytes):
-    """Image decode. REAL for PNG (llmap_spark.png: inflate + unfilter)
-    and GIF (llmap_spark.gif: pure-stdlib LZW, first frame composed on
-    the canvas as RGB). JPEG/WebP need entropy codecs absent from this
-    container and raise the documented NotImplementedError seam."""
+    """Image decode. REAL for PNG (llmap_spark.png: inflate + unfilter),
+    GIF (llmap_spark.gif: pure-stdlib LZW) and baseline JPEG
+    (llmap_spark.jpeg: Huffman + dequant + numpy IDCT). Only WebP's VP8
+    entropy coder remains codec-bound and raises the documented
+    NotImplementedError seam (progressive JPEG returns its typed
+    unsupported status rather than raising — the format was recognized)."""
     from llmap_spark.gif import decode_gif
+    from llmap_spark.jpeg import decode_jpeg
     from llmap_spark.png import decode_png
 
     img = decode_png(payload)
@@ -285,9 +291,13 @@ def decode_image(payload: bytes):
     gimg = decode_gif(payload)
     if gimg.status != "not_gif":
         return gimg
+    jimg = decode_jpeg(payload)
+    if jimg.status != "not_jpeg":
+        return jimg
     raise NotImplementedError(
-        "non-PNG/GIF decode requires a codec library not present in "
-        "this environment; wire PIL/torchvision here on a real cluster")
+        "non-PNG/GIF/JPEG decode requires a codec library not present "
+        "in this environment; wire PIL/torchvision here on a real "
+        "cluster")
 
 
 PNG_DECODE_SCHEMA = ("status string, width int, height int, channels int, "
@@ -343,22 +353,25 @@ def with_audio_decode(df: DataFrame, binary_col: str,
 
 
 def image_pixel_stats(payload: bytes | None) -> tuple:
-    """Combined PNG+GIF pixel-stats kernel: (status, width, height,
-    channels, mean_x1000, px_md5). Anything neither codec recognizes is
-    'undecodable' (the JPEG/WebP seam) — total, never raises."""
+    """Combined PNG+GIF+JPEG pixel-stats kernel: (status, width, height,
+    channels, mean_x1000, px_md5). Anything no codec recognizes is
+    'undecodable' (the WebP seam) — total, never raises."""
     from llmap_spark.gif import decode_gif
+    from llmap_spark.jpeg import decode_jpeg
     from llmap_spark.png import pixel_stats_of, png_pixel_stats
 
     st = png_pixel_stats(payload)
     if st[0] != "not_png":
         return st
-    g = decode_gif(payload)
-    if g.status == "not_gif":
-        return ("undecodable", None, None, None, None, None)
-    if g.status != "ok":
-        return (g.status, g.width, g.height, None, None, None)
-    mean_x1000, md5_ = pixel_stats_of(g.pixels)
-    return (g.status, g.width, g.height, g.channels, mean_x1000, md5_)
+    for img in (decode_gif(payload), decode_jpeg(payload)):
+        if img.status in ("not_gif", "not_jpeg"):
+            continue
+        if img.status != "ok":
+            return (img.status, img.width, img.height, None, None, None)
+        mean_x1000, md5_ = pixel_stats_of(img.pixels)
+        return (img.status, img.width, img.height, img.channels,
+                mean_x1000, md5_)
+    return ("undecodable", None, None, None, None, None)
 
 
 def with_image_decode(df: DataFrame, binary_col: str,

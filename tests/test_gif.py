@@ -103,10 +103,13 @@ def test_spark_image_decode_op_png_and_gif(spark):
     from llmap_spark.png import encode_png
 
     pal = bytes([50, 51, 52, 0, 0, 0])
+    from llmap_spark.jpeg import encode_jpeg
+
     rows = [(0, encode_png(bytes([70]) * 12, 4, 3, 1)),
             (1, encode_gif(bytes([0] * 6), 3, 2, pal)),
-            (2, b"\xff\xd8\xffjpeg-ish"),
-            (3, None)]
+            (2, encode_jpeg(bytes([90]) * 24, 6, 4, 1)),
+            (3, None),
+            (4, b"RIFF\x10\x00\x00\x00WEBPjunk")]
     df = spark.createDataFrame(rows, "id long, payload binary")
     out = {r.id: r for r in
            with_image_decode(df, "payload", keep_cols=("id",)).collect()}
@@ -114,8 +117,10 @@ def test_spark_image_decode_op_png_and_gif(spark):
     assert (out[1].status, out[1].channels, out[1].mean_x1000) == (
         "ok", 3, 51_000)
     assert out[1].px_md5 == hashlib.md5(pal[0:3] * 6).hexdigest()
-    assert out[2].status == "undecodable"
+    assert (out[2].status, out[2].mean_x1000) == ("ok", 90_000)
+    assert out[2].px_md5 == hashlib.md5(bytes([90]) * 24).hexdigest()
     assert out[3].status == "undecodable"
+    assert out[4].status == "undecodable"  # the remaining WebP seam
 
 
 def test_background_uses_global_table_not_local():

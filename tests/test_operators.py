@@ -553,16 +553,18 @@ def test_frame_sample_fanout(spark):
 
 
 def test_decode_image_png_real_others_marked_stub():
-    """Round 5: PNG decode is REAL (llmap_spark.png); the codec-bound
-    formats (JPEG etc.) keep the documented NotImplementedError seam."""
+    """Round 5: PNG/GIF/JPEG decode are REAL; only WebP's VP8 entropy
+    coder keeps the documented NotImplementedError seam."""
     from llmap_spark.functions.multimodal import decode_image
-    from llmap_spark.media_meta import make_png
+    from llmap_spark.media_meta import make_png, make_webp
 
     img = decode_image(make_png(6, 4, 8))
     assert (img.status, img.width, img.height) == ("ok", 6, 4)
     assert img.pixels == b"\x00" * 24
+    # a truncated JPEG is RECOGNIZED and carries a typed status
+    assert decode_image(b"\xff\xd8\xff\xd9").status == "truncated"
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+        decode_image(make_webp(10, 10, "vp8"))
 
 
 # -- links ----------------------------------------------------------------------
