@@ -74,3 +74,25 @@ def test_truncated_scan_never_raises():
     for cut in range(0, len(full), 5):
         r = decode_jpeg(full[:cut])
         assert isinstance(r.status, str)
+
+
+def test_cross_codec_consistency():
+    """The same constant image encoded as PNG, GIF, and JPEG must decode
+    to identical pixel stats through image_pixel_stats — the three
+    codecs share one mean/md5 definition (png.pixel_stats_of) and the
+    constant-content paths are all lossless."""
+    from llmap_spark.functions.multimodal import image_pixel_stats
+    from llmap_spark.gif import encode_gif
+    from llmap_spark.png import encode_png
+
+    w, h, v = 12, 9, 77
+    grey = bytes([v]) * (w * h)
+    png_stats = image_pixel_stats(encode_png(grey, w, h, 1))
+    jpg_stats = image_pixel_stats(encode_jpeg(grey, w, h, 1))
+    assert png_stats == jpg_stats == ("ok", w, h, 1, v * 1000,
+                                      png_stats[5])
+    # GIF is palette RGB: same mean per the constant (v,v,v) palette
+    pal = bytes([v, v, v, 0, 0, 0])
+    gif_stats = image_pixel_stats(encode_gif(bytes(w * h), w, h, pal))
+    assert gif_stats[:3] == ("ok", w, h)
+    assert gif_stats[4] == v * 1000
