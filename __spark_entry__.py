@@ -1792,6 +1792,36 @@ def _q_multimodal_jpeg_decode_planted(spark: SparkSession,
     return with_image_decode(payloads, "payload", keep_cols=("doc_id",))
 
 
+def _q_multimodal_flac_decode_planted(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """REAL FLAC sample decode (llmap_spark.flac: rice/LPC bit reader —
+    lossless, so decoded PCM hashes byte-exactly), hash-verified like
+    the WAV twin: constant samples c*257 (identical ASCII-safe int16
+    bytes), n = 10 + d%300 frames so most docs span MULTIPLE 256-sample
+    FLAC frames (the multi-frame walk is exercised, not just one
+    header). mean is arithmetic; md5 is chr/repeat."""
+    import pandas as pd
+
+    from llmap_spark.flac import encode_flac_constant
+    from llmap_spark.functions.multimodal import with_audio_decode
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf_ in batches:
+            payloads = []
+            for d in pdf_["doc_id"]:
+                d = int(d)
+                c, n = 32 + d % 93, 10 + d % 300
+                payloads.append(encode_flac_constant(
+                    c * 257, n, 8000 * (1 + d % 6)))
+            yield pd.DataFrame({"doc_id": pdf_["doc_id"],
+                                "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return with_audio_decode(payloads, "payload", keep_cols=("doc_id",))
+
+
 def _q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MP4 (ISO-BMFF) header metadata, driver-verified: every doc is
     rendered as a minimal ftyp+moov(mvhd+trak(tkhd)) file with planted
@@ -2135,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule_planted": _q_fetch_schedule_planted,
         "token_count_cjk": _q_token_count_cjk,
         "multimodal_jpeg_decode_planted": _q_multimodal_jpeg_decode_planted,
+        "multimodal_flac_decode_planted": _q_multimodal_flac_decode_planted,
         # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -3559,6 +3590,22 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN doc_id % 2 = 0 THEN md5(repeat(chr(v), npx))
                ELSE md5(repeat(chr(v) || chr(v + 1) || chr(v + 2), npx))
           END AS px_md5
+        FROM p
+    """
+    d["multimodal_flac_decode_planted"] = """
+        -- FLAC is lossless: constant int16 c*257 (bytes chr(c) twice)
+        -- across n frames hashes byte-exactly; mean is arithmetic
+        WITH p AS (
+          SELECT doc_id,
+                 CAST(32 + doc_id % 93 AS int) AS c,
+                 CAST(10 + doc_id % 300 AS int) AS nf
+          FROM documents)
+        SELECT doc_id, 'ok' AS status,
+          CAST(8000 * (1 + doc_id % 6) AS int) AS sample_rate,
+          CAST(1 AS int) AS channels, nf AS n_frames,
+          CAST(c * 257 * 1000 AS bigint) AS mean_milli,
+          CAST(c * 257 * 1000 AS bigint) AS abs_mean_milli,
+          md5(repeat(chr(c) || chr(c), nf)) AS s_md5
         FROM p
     """
     d["multimodal_jpeg_decode_planted"] = """

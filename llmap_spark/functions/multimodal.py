@@ -330,19 +330,48 @@ AUDIO_DECODE_SCHEMA = ("status string, sample_rate int, channels int, "
                        "s_md5 string")
 
 
+def audio_sample_stats(payload: bytes | None) -> tuple:
+    """Combined WAV+FLAC sample-stats kernel: (status, sample_rate,
+    channels, n_frames, mean_milli, abs_mean_milli, s_md5). WAV stats
+    hash the PCM bytes as stored; FLAC (lossless — llmap_spark.flac)
+    hashes the decoded interleaved int16 stream. Anything neither
+    recognizes is 'undecodable' (the MP3 seam). Total."""
+    import hashlib
+
+    from llmap_spark.audio import wav_sample_stats
+    from llmap_spark.flac import decode_flac
+
+    st = wav_sample_stats(payload)
+    if st[0] != "not_wav":
+        return st
+    a = decode_flac(payload)
+    if a.status == "not_flac":
+        return ("undecodable", None, None, None, None, None, None)
+    if a.status != "ok":
+        return (a.status, a.sample_rate, a.channels, None, None, None,
+                None)
+    s = np.frombuffer(a.samples, dtype="<i2").astype(np.int64)
+    if s.size == 0:
+        return (a.status, a.sample_rate, a.channels, 0, 0, 0,
+                hashlib.md5(b"").hexdigest())
+    return (a.status, a.sample_rate, a.channels, a.n_frames,
+            int(s.sum()) * 1000 // s.size,
+            int(np.abs(s).sum()) * 1000 // s.size,
+            hashlib.md5(a.samples).hexdigest())
+
+
 def with_audio_decode(df: DataFrame, binary_col: str,
                       keep_cols: tuple[str, ...] = ()) -> DataFrame:
-    """REAL WAV PCM sample decode (llmap_spark.audio) over a binary
-    column: integer-exact amplitude stats + md5 of the raw PCM bytes.
-    Total: non-WAV/compressed rows carry a typed status with NULL
-    stats. NOTE the mean_milli floor division follows Python floor
-    semantics (toward -inf); cross-engine oracles must plant
-    non-negative sums (DuckDB // truncates toward zero)."""
-    from llmap_spark.audio import wav_sample_stats
+    """REAL audio sample decode (WAV PCM + FLAC) over a binary column:
+    integer-exact amplitude stats + md5 of the sample bytes via
+    audio_sample_stats. Total: unrecognized/compressed rows carry a
+    typed status with NULL stats. NOTE the mean_milli floor division
+    follows Python floor semantics (toward -inf); cross-engine oracles
+    must plant non-negative sums (DuckDB // truncates toward zero)."""
     from llmap_spark.functions.arrow_carry import map_with_carry
 
     def batch(series: pd.Series) -> pd.DataFrame:
-        rows = [wav_sample_stats(v) for v in series]
+        rows = [audio_sample_stats(v) for v in series]
         return pd.DataFrame(rows, columns=["status", "sample_rate",
                                            "channels", "n_frames",
                                            "mean_milli", "abs_mean_milli",

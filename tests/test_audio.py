@@ -89,8 +89,9 @@ def test_spark_audio_decode_op(spark):
         "ok", 8000, 30)
     assert out[0].mean_milli == c * 257 * 1000
     assert out[0].s_md5 == hashlib.md5(s).hexdigest()
-    assert out[1].status == "not_wav" and out[1].s_md5 is None
-    assert out[2].status == "not_wav"
+    # the op dispatches WAV -> FLAC; unrecognized bytes are the MP3 seam
+    assert out[1].status == "undecodable" and out[1].s_md5 is None
+    assert out[2].status == "undecodable"
 
 
 def test_hostile_sample_rate_stays_int32_safe(spark):
