@@ -1797,9 +1797,10 @@ def _q_multimodal_flac_decode_planted(spark: SparkSession,
     """REAL FLAC sample decode (llmap_spark.flac: rice/LPC bit reader —
     lossless, so decoded PCM hashes byte-exactly), hash-verified like
     the WAV twin: constant samples c*257 (identical ASCII-safe int16
-    bytes), n = 10 + d%300 frames so most docs span MULTIPLE 256-sample
-    FLAC frames (the multi-frame walk is exercised, not just one
-    header). mean is arithmetic; md5 is chr/repeat."""
+    bytes), n = 200 + d%300 SAMPLES per doc, so ~81% of docs exceed the
+    256-sample frame size and exercise the multi-frame walk (review
+    finding: the first 10+d%300 range left only ~18% multi-frame).
+    mean is arithmetic; md5 is chr/repeat over n samples."""
     import pandas as pd
 
     from llmap_spark.flac import encode_flac_constant
@@ -1812,7 +1813,7 @@ def _q_multimodal_flac_decode_planted(spark: SparkSession,
             payloads = []
             for d in pdf_["doc_id"]:
                 d = int(d)
-                c, n = 32 + d % 93, 10 + d % 300
+                c, n = 32 + d % 93, 200 + d % 300
                 payloads.append(encode_flac_constant(
                     c * 257, n, 8000 * (1 + d % 6)))
             yield pd.DataFrame({"doc_id": pdf_["doc_id"],
@@ -3598,7 +3599,7 @@ def oracle_sql() -> dict[str, str]:
         WITH p AS (
           SELECT doc_id,
                  CAST(32 + doc_id % 93 AS int) AS c,
-                 CAST(10 + doc_id % 300 AS int) AS nf
+                 CAST(200 + doc_id % 300 AS int) AS nf
           FROM documents)
         SELECT doc_id, 'ok' AS status,
           CAST(8000 * (1 + doc_id % 6) AS int) AS sample_rate,

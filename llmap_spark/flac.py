@@ -215,7 +215,10 @@ def decode_flac(data: bytes | None) -> FlacAudio:
         n_bits_total = len(data) * 8
         decoded_any = False
         while br.pos + 32 <= n_bits_total:
-            sync = br.read(14)
+            try:
+                sync = br.read(14)
+            except EOFError:
+                break
             if sync != 0x3FFE:
                 if not decoded_any:
                     return _fail("corrupt", sr, ch, bits)
@@ -284,19 +287,28 @@ def decode_flac(data: bytes | None) -> FlacAudio:
                 break
         if not decoded_any:
             return _fail("truncated", sr, ch, bits)
-        n = min(len(c) for c in channels_out)
-        shift = 16 - bits  # widen 8-bit to int16 (<< 8), keep 16 as-is
-        out = bytearray()
-        for k in range(n):
-            for c in range(ch):
-                v = channels_out[c][k] << shift
-                v = max(-32768, min(32767, v))
-                out += v.to_bytes(2, "little", signed=True)
-        return FlacAudio("ok", sr, ch, 16, n, bytes(out))
+        return _emit(channels_out, sr, ch, bits)
     except EOFError:
-        return _fail("truncated")
+        # mid-frame truncation: keep every COMPLETED frame's samples and
+        # the parsed STREAMINFO fields (the WAV twin's behavior) — the
+        # half-decoded frame was never appended, so channels stay aligned
+        if decoded_any:
+            return _emit(channels_out, sr, ch, bits)
+        return _fail("truncated", sr, ch, bits)
     except Exception:
         return _fail("corrupt")
+
+
+def _emit(channels_out: list[list[int]], sr, ch, bits) -> FlacAudio:
+    import numpy as np
+
+    n = min(len(c) for c in channels_out)
+    shift = 16 - bits  # widen 8-bit to int16 (<< 8), keep 16 as-is
+    arr = np.array([c[:n] for c in channels_out], dtype=np.int64)
+    arr = np.clip(arr << shift, -32768, 32767)
+    # vectorized interleave: (ch, n) -> n*ch int16 LE (a per-sample
+    # Python loop here stalled a task for minutes at the sample cap)
+    return FlacAudio("ok", sr, ch, 16, n, arr.T.astype("<i2").tobytes())
 
 
 # ---------------------------------------------------------------------------
@@ -345,12 +357,23 @@ def encode_flac_constant(value: int, n_samples: int, sample_rate: int,
         w.write(channels - 1, 4)  # independent channels
         w.write(4 if bits == 16 else 1, 3)  # sample size
         w.write(0, 1)           # reserved
-        # UTF-8 frame number (idx < 128 for the planted sizes)
+        # UTF-8-style frame number, 1-3 bytes (review finding: the old
+        # 2-byte form set a third lead bit past idx 2047 and produced
+        # files the decoder read as truncated)
         if idx < 0x80:
             w.write(idx, 8)
-        else:
+        elif idx < 0x800:
             w.write(0xC0 | (idx >> 6), 8)
             w.write(0x80 | (idx & 0x3F), 8)
+        elif idx < 0x10000:
+            w.write(0xE0 | (idx >> 12), 8)
+            w.write(0x80 | ((idx >> 6) & 0x3F), 8)
+            w.write(0x80 | (idx & 0x3F), 8)
+        else:
+            raise ValueError(
+                "encode_flac_constant supports < 65536 frames "
+                f"({65536 * frame_size} samples at frame_size="
+                f"{frame_size}); raise frame_size for longer streams")
         w.write(bs - 1, 16)
         w.write(0, 8)           # CRC-8 (unverified)
         for _ in range(channels):

@@ -257,21 +257,22 @@ def with_resize_plan(df: DataFrame, binary_col: str,
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Image resize. REAL for PNG (llmap_spark.png: stdlib inflate ->
-    unfilter -> integer nearest-neighbor resample -> re-encode, valid
-    CRCs); other formats still need codec libraries absent from this
-    container and raise the documented NotImplementedError seam."""
-    from llmap_spark.png import decode_png, encode_png, resample_nearest
+    """Image resize, REAL for every decodable format (PNG/GIF/baseline
+    JPEG via decode_image -> integer nearest-neighbor resample); the
+    result is RE-ENCODED AS PNG regardless of input format (lossless,
+    valid CRCs — the normalize-on-resize convention every thumbnail
+    pipeline uses anyway). WebP still needs a codec library absent from
+    this container and raises the documented NotImplementedError; a
+    decodable-but-corrupt payload raises ValueError with its typed
+    status."""
+    from llmap_spark.png import encode_png, resample_nearest
 
-    img = decode_png(payload)
-    if img.status == "ok":
-        px = resample_nearest(img.pixels, img.width, img.height,
-                              img.channels, width, height)
-        return encode_png(px, width, height, img.channels)
-    raise NotImplementedError(
-        f"non-PNG resize (decode status {img.status!r}) requires a codec "
-        "library not present in this environment; wire PIL here on a "
-        "real cluster")
+    img = decode_image(payload)  # raises NotImplementedError for WebP
+    if img.status != "ok":
+        raise ValueError(f"cannot resize: decode status {img.status!r}")
+    px = resample_nearest(img.pixels, img.width, img.height,
+                          img.channels, width, height)
+    return encode_png(px, width, height, img.channels)
 
 
 def decode_image(payload: bytes):
@@ -405,9 +406,9 @@ def image_pixel_stats(payload: bytes | None) -> tuple:
 
 def with_image_decode(df: DataFrame, binary_col: str,
                       keep_cols: tuple[str, ...] = ()) -> DataFrame:
-    """REAL pixel decode over a binary column for BOTH decodable web
-    formats (PNG + GIF) via image_pixel_stats; same schema and map-only
-    shape as with_png_decode."""
+    """REAL pixel decode over a binary column for all three decodable
+    web formats (PNG + GIF + baseline JPEG) via image_pixel_stats; same
+    schema and map-only shape as with_png_decode."""
     from llmap_spark.functions.arrow_carry import map_with_carry
 
     def batch(series: pd.Series) -> pd.DataFrame:

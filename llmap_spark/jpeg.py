@@ -239,7 +239,10 @@ def decode_jpeg(data: bytes | None) -> JpegImage:
                 nc = seg[5]
                 if nc not in (1, 3):
                     return _fail("unsupported_components", w, h)
-                if not (w and h) or w * h > MAX_PIXELS:
+                # bound TOTAL samples (w*h*components), not just pixels:
+                # a just-under-cap color image would otherwise drive
+                # multi-GB float plane allocations (bounded-work rule)
+                if not (w and h) or w * h * nc > MAX_PIXELS:
                     return _fail("unsupported_size", w, h)
                 comps = []
                 for c in range(nc):
@@ -277,7 +280,10 @@ def _decode_scan(scan: bytes, comps, qt, huff, w, h,
     planes = []
     for c in comps:
         pw, ph = mcus_x * 8 * c["hs"], mcus_y * 8 * c["vs"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
+        # float32 planes: half the footprint of float64 at identical
+        # rounded output (IDCT magnitudes <= ~2048, well inside the
+        # 24-bit mantissa; constant-image exactness is preserved)
+        planes.append(np.zeros((ph, pw), dtype=np.float32))
         if c["tq"] not in qt or (0, c.get("td", 0)) not in huff \
                 or (1, c.get("ta", 0)) not in huff:
             return _fail("corrupt", w, h)
@@ -328,11 +334,10 @@ def _decode_scan(scan: bytes, comps, qt, huff, w, h,
                         x0 = (mx * c["hs"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
-            if mcu_count > total_mcus:
-                break
     out_planes = []
     for ci, c in enumerate(comps):
         p = np.clip(np.round(planes[ci]), 0, 255).astype(np.uint8)
+        planes[ci] = None  # free each float plane as it converts
         # upsample subsampled chroma to full resolution
         ry, rx = vmax // c["vs"], hmax // c["hs"]
         if ry > 1 or rx > 1:
@@ -340,13 +345,19 @@ def _decode_scan(scan: bytes, comps, qt, huff, w, h,
         out_planes.append(p[:h, :w])
     if len(comps) == 1:
         return JpegImage("ok", w, h, 1, out_planes[0].tobytes())
-    y, cb, cr = (pl.astype(np.float64) for pl in out_planes)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=-1)
-    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    return JpegImage("ok", w, h, 3, rgb.tobytes())
+    # per-channel float32 conversion into a preallocated uint8 result —
+    # peak memory stays ~O(total samples), never the float64 stack the
+    # first version paid
+    y, cb, cr = (pl.astype(np.float32) for pl in out_planes)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    cbf = cb - np.float32(128.0)
+    crf = cr - np.float32(128.0)
+    for k, chan in enumerate((y + np.float32(1.402) * crf,
+                              y - np.float32(0.344136) * cbf
+                              - np.float32(0.714136) * crf,
+                              y + np.float32(1.772) * cbf)):
+        out[..., k] = np.clip(np.round(chan), 0, 255).astype(np.uint8)
+    return JpegImage("ok", w, h, 3, out.tobytes())
 
 
 def _decode_block(br: _BitReader, dc_t, ac_t) -> np.ndarray:

@@ -94,9 +94,10 @@ def main(argv: list[str]) -> int:
             r = _dispatch(html)
             print(r.extracted_text)
         elif cmd == "pixels":
-            from llmap_spark.png import png_pixel_stats
+            # the SAME combined PNG/GIF/JPEG kernel the Spark UDF runs
+            from llmap_spark.functions.multimodal import image_pixel_stats
 
-            st_, w, h, ch, mean, md5_ = png_pixel_stats(html)
+            st_, w, h, ch, mean, md5_ = image_pixel_stats(html)
             print(f"{f}\t{st_}\t{w}x{h}\tchannels={ch}\t"
                   f"mean_x1000={mean}\tpx_md5={md5_}")
         elif cmd == "lang":

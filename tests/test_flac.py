@@ -165,3 +165,27 @@ def test_spark_audio_decode_dispatches_flac(spark):
     assert out[0].mean_milli == v * 1000
     assert out[0].s_md5 == hashlib.md5(bytes([c, c]) * 40).hexdigest()
     assert out[1].status == "undecodable"
+
+
+def test_high_frame_index_utf8_number():
+    """Review finding: frame index >= 2048 needs the 3-byte UTF-8 form;
+    the 2-byte form silently desynced the decoder."""
+    n = 2050 * 8 + 5  # > 2048 frames at frame_size=8
+    a = decode_flac(encode_flac_constant(7, n, 8000, frame_size=8))
+    assert (a.status, a.n_frames) == ("ok", n)
+    assert a.samples == struct.pack("<h", 7) * n
+
+
+def test_truncation_keeps_metadata_and_completed_frames():
+    """Review finding: a cut-off FLAC must keep STREAMINFO fields and
+    every fully-decoded frame, like the WAV twin."""
+    full = encode_flac_constant(9, 600, 8000)  # 3 frames of 256/256/88
+    a = decode_flac(full[:-3])  # cut mid-final-frame
+    assert a.status == "ok" and a.sample_rate == 8000
+    assert a.n_frames in (256, 512)  # completed frames survive
+    assert a.samples == struct.pack("<h", 9) * a.n_frames
+    # cut before ANY frame completes: typed status WITH metadata
+    head_only = full[: full.index(b"\xff\xf8") + 4]
+    t = decode_flac(head_only)
+    assert t.status == "truncated"
+    assert (t.sample_rate, t.channels, t.bits) == (8000, 1, 16)

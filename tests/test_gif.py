@@ -146,3 +146,21 @@ def test_background_uses_global_table_not_local():
     assert rows[0] == red * 4                      # background = GCT[0]
     assert rows[1] == red + white + white + red    # frame = LOCAL table
     assert rows[2] == red + white + white + red
+
+
+def test_resize_image_gif_and_jpeg_reencode_png():
+    """resize_image is real for every decodable format, normalizing the
+    output to PNG (review finding: the docstring promised this but the
+    implementation was PNG-only)."""
+    from llmap_spark.functions.multimodal import resize_image
+    from llmap_spark.jpeg import encode_jpeg
+    from llmap_spark.png import decode_png
+
+    pal = bytes([80, 80, 80, 0, 0, 0])
+    out = resize_image(encode_gif(bytes(6 * 4), 6, 4, pal), 3, 2)
+    img = decode_png(out)
+    assert (img.status, img.width, img.height) == ("ok", 3, 2)
+    assert img.pixels == bytes([80]) * 18
+    out2 = resize_image(encode_jpeg(bytes([77]) * 48, 8, 6, 1), 4, 3)
+    img2 = decode_png(out2)
+    assert img2.pixels == bytes([77]) * 12
