@@ -189,14 +189,20 @@ def fetch_schedule(urls_df: DataFrame, robots_df: DataFrame,
         delays, with_host["fetch_host"] == delays["host"], "left")
         .drop(delays["host"]))
     w = Window.partitionBy("fetch_host").orderBy(F.col(url_col).asc())
+    # filter the RAW row_number before any arithmetic: Spark's
+    # WindowGroupLimit rule pattern-matches `row_number() <= k` filters
+    # and pushes the limit into per-partition partial sorts (bounding a
+    # hot host's buffering); `(rn - 1) < k` does NOT match the rule
+    # (verified in the physical plan)
     return (joined
-            .withColumn("slot", F.row_number().over(w) - 1)
-            .filter(F.col("slot") < max_per_host)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_per_host)
+            .withColumn("slot", (F.col("__rn") - 1).cast("int"))
             .withColumn("delay_ms", F.coalesce(
                 F.col("__delay_ms"), F.lit(int(default_delay_ms))))
             .withColumn("eta_ms",
                         (F.col("slot") * F.col("delay_ms")).cast("long"))
-            .drop("__delay_ms"))
+            .drop("__delay_ms", "__rn"))
 
 
 MAX_SITEMAPS_PER_HOST = 100  # defensive cap on pathological bodies
