@@ -938,6 +938,30 @@ def _q_dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("agree_x64")))
 
 
+def _q_dedup_minhash_incremental_planted(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup (dedup.minhash_candidates_against — the
+    MinHash counterpart of exact_dedup_against for continuously-arriving
+    batches), hash-verified: the case-variant families are SPLIT across
+    the prior snapshot (members r=0,1 -> minhash_signatures) and the new
+    batch (members r=2,3, re-idd +100000). Within-family signatures are
+    identical, so every batch doc matches exactly its family's two seen
+    docs at agreement 64/64 — pure doc_id arithmetic; within-batch pairs
+    are structurally absent (out of the operator's scope)."""
+    from llmap_spark.operators.dedup import (minhash_candidates_against,
+                                             minhash_signatures)
+
+    base = _planted_neardup_docs(spark, sf_dir)
+    seen = minhash_signatures(base.filter(F.col("doc_id") % 4 <= 1))
+    batch = (base.filter(F.col("doc_id") % 4 >= 2)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    cand = minhash_candidates_against(batch, seen)
+    return (cand.filter(F.col("est_jaccard") >= 0.5)
+            .select("batch_id", "seen_id",
+                    F.round(F.col("est_jaccard") * 64).cast("int")
+                    .alias("agree_x64")))
+
+
 def _q_dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding hash-verified by construction: 4-block families of
     EXACT copies have IDENTICAL simhash (Hamming 0), so pigeonhole banding
@@ -2167,6 +2191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_cjk": _q_token_count_cjk,
         "multimodal_jpeg_decode_planted": _q_multimodal_jpeg_decode_planted,
         "multimodal_flac_decode_planted": _q_multimodal_flac_decode_planted,
+        "dedup_minhash_incremental_planted":
+            _q_dedup_minhash_incremental_planted,
         # --- LAST_CHECKED: r2 (green r1+r2 or r2 only; oldest rows) ---
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -3592,6 +3618,20 @@ def oracle_sql() -> dict[str, str]:
                ELSE md5(repeat(chr(v) || chr(v + 1) || chr(v + 2), npx))
           END AS px_md5
         FROM p
+    """
+    d["dedup_minhash_incremental_planted"] = """
+        -- family arithmetic: batch member d (r in 2,3) matches the two
+        -- seen members of its 4-block at full signature agreement
+        WITH b AS (SELECT doc_id FROM documents WHERE doc_id % 4 IN (2, 3))
+        SELECT doc_id + 100000 AS batch_id,
+               (doc_id // 4) * 4 AS seen_id,
+               CAST(64 AS int) AS agree_x64
+        FROM b
+        UNION ALL
+        SELECT doc_id + 100000 AS batch_id,
+               (doc_id // 4) * 4 + 1 AS seen_id,
+               CAST(64 AS int) AS agree_x64
+        FROM b
     """
     d["multimodal_flac_decode_planted"] = """
         -- FLAC is lossless: constant int16 c*257 (bytes chr(c) twice)

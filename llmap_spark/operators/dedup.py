@@ -228,7 +228,6 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     from llmap_spark.cache import register_persisted
 
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = ensure_parallelism(
         df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
         "_id",
@@ -240,16 +239,10 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     sig = sig.persist()
     if not materialize:
         register_persisted(sig)
-    # band key: md5 of the band's signature slice, JVM-side
-    band_exprs = []
-    for bd in range(bands):
-        s = F.slice("sig", bd * rows_per_band + 1, rows_per_band)
-        band_exprs.append(F.struct(F.lit(bd).alias("band"),
-                                   F.md5(F.to_json(s)).alias("bh")))
-    exploded = (
-        sig.select("_id", F.explode(F.array(*band_exprs)).alias("bk"))
-        .select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    )
+    # band key: md5 of the band's signature slice, JVM-side (the shared
+    # _band_keys construction — the incremental variant must produce
+    # byte-identical keys)
+    exploded = _band_keys(sig, "_id", num_hashes, bands)
     # hot-bucket guard via groupBy counts + ANTI-join against the
     # over-full buckets, NOT a window over (band, bh): the hot bucket is
     # exactly the case the cap exists for, and a window would buffer that
@@ -311,6 +304,101 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         out = out.localCheckpoint(eager=True)
         sig.unpersist()
     return out
+
+
+def _band_keys(sig_frame: DataFrame, id_alias: str, num_hashes: int,
+               bands: int) -> DataFrame:
+    """(id, sig) -> (id, band, bh): the banded LSH keys, md5 of each
+    signature slice JVM-side — the ONE band-key construction
+    minhash_lsh_candidates and the incremental variant share (keys are
+    only comparable when params match, so one code path)."""
+    rows_per_band = num_hashes // bands
+    band_exprs = []
+    for bd in range(bands):
+        s = F.slice("sig", bd * rows_per_band + 1, rows_per_band)
+        band_exprs.append(F.struct(F.lit(bd).alias("band"),
+                                   F.md5(F.to_json(s)).alias("bh")))
+    return (sig_frame.select(F.col("_id").alias(id_alias), "sig",
+                             F.explode(F.array(*band_exprs)).alias("bk"))
+            .select(id_alias, F.col("bk.band").alias("band"),
+                    F.col("bk.bh").alias("bh")))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 64,
+                       shingle_k: int = 5, seed: int = 42) -> DataFrame:
+    """(id, sig array<long>): the MinHash signature table — the snapshot
+    DELIVERABLE an incrementally-crawling pipeline persists between
+    batches and feeds to minhash_candidates_against. Shingle-less docs
+    carry no row (NULL signatures match nothing by design)."""
+    sig = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id",
+        minhash_signature_udf(num_hashes, shingle_k, seed)(
+            F.col(text_col)).alias("sig"))
+    return (sig.filter(F.col("sig").isNotNull())
+            .select(F.col("_id").alias(id_col), "sig"))
+
+
+def minhash_candidates_against(batch: DataFrame, seen_sigs: DataFrame,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               num_hashes: int = 64, bands: int = 16,
+                               shingle_k: int = 5, max_bucket: int = 200,
+                               seen_id_col: str = "doc_id",
+                               seen_sig_col: str = "sig",
+                               seed: int = 42) -> DataFrame:
+    """Incremental near-dup candidates for a continuously-arriving crawl
+    batch: (batch_id, seen_id, est_jaccard) pairs between NEW docs and a
+    PRIOR snapshot's signature table (minhash_signatures) — the
+    MinHash/LSH counterpart of exact_dedup_against. Signature params
+    must match the table's (same num_hashes/shingle_k/seed, or the band
+    keys are incomparable).
+
+    Scale shape: the batch side is signed fresh (one Arrow pass,
+    persisted); BOTH sides explode to thin (id, band, bh) keys and meet
+    in an equi-join — the history is never self-joined, and per-batch
+    work is O(|batch| x bands) plus the join against the seen band
+    table (at rest this is a sorted/bucketed table scan; here a
+    computed frame). The hot-bucket cap applies to the SEEN side (the
+    unbounded one): band keys occurring more than `max_bucket` times in
+    the history are anti-joined out, exactly the
+    minhash_lsh_candidates skew guard. Signatures re-attach AFTER the
+    pair distinct, thin-shuffle style. Within-batch duplicates are
+    minhash_lsh_candidates' job; run both for full coverage."""
+    from llmap_spark.cache import register_persisted
+
+    assert num_hashes % bands == 0
+    bsig = ensure_parallelism(
+        batch.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id",
+        minhash_signature_udf(num_hashes, shingle_k, seed)(
+            F.col(text_col)).alias("sig"))
+    bsig = bsig.filter(F.col("sig").isNotNull()).persist()
+    register_persisted(bsig)
+    ssig = seen_sigs.select(F.col(seen_id_col).alias("_id"),
+                            F.col(seen_sig_col).alias("sig"))
+    bkeys = _band_keys(bsig, "batch_id", num_hashes, bands)
+    skeys = _band_keys(ssig, "seen_id", num_hashes, bands)
+    hot = (skeys.groupBy("band", "bh")
+           .agg(F.count(F.lit(1)).alias("_bn"))
+           .filter(F.col("_bn") > max_bucket)
+           .select("band", "bh"))
+    skeys = skeys.join(hot, ["band", "bh"], "left_anti")
+    pairs = (bkeys.join(skeys, ["band", "bh"])
+             .select("batch_id", "seen_id").distinct())
+    sa = bsig.select(F.col("_id").alias("batch_id"),
+                     F.col("sig").alias("sig_a"))
+    sb = ssig.select(F.col("_id").alias("seen_id"),
+                     F.col("sig").alias("sig_b"))
+    withsigs = sa.join(pairs, "batch_id").join(sb, "seen_id")
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    return withsigs.select(
+        "batch_id", "seen_id",
+        (agree / F.lit(float(num_hashes))).alias("est_jaccard"))
 
 
 # --------------------------------------------------------------------------

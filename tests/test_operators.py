@@ -1143,3 +1143,56 @@ def test_token_count_script_aware(spark):
     # case 2: 'hello', 'world' + 2 han chars = 4
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_minhash_candidates_against_prior_snapshot(spark, docs):
+    """Incremental near-dup: new batch docs match the PRIOR snapshot's
+    signature table; the history is never self-joined and within-batch
+    pairs are out of scope."""
+    from llmap_spark.operators.dedup import (minhash_candidates_against,
+                                             minhash_signatures)
+
+    seen = minhash_signatures(docs)
+    # batch: near-dups of the first 20 history docs + 5 fresh ones
+    near = (docs.limit(20)
+            .withColumn("doc_id", F.col("doc_id") + 100000)
+            .withColumn("text", F.concat(F.col("text"),
+                                         F.lit(" tiny suffix"))))
+    fresh = spark.createDataFrame(
+        [(200000 + i, f"completely new page number {i} with its own "
+          f"unique words alpha{i} beta{i} gamma{i}") for i in range(5)],
+        "doc_id long, text string")
+    batch = near.select("doc_id", "text").unionByName(fresh)
+    cand = minhash_candidates_against(batch, seen)
+    strong = cand.filter("est_jaccard >= 0.5")
+    pairs = {(r.batch_id, r.seen_id) for r in strong.collect()}
+    found = sum((d + 100000, d) in pairs for d in range(20))
+    assert found >= 18  # >=90% recall on planted cross-batch near-dups
+    # fresh docs match nothing strongly
+    assert not [p for p in pairs if p[0] >= 200000]
+    # within-batch pairs never appear (both ids would be batch ids)
+    assert all(p[1] < 100000 for p in pairs)
+
+
+def test_minhash_candidates_against_null_and_hot_bucket(spark):
+    from llmap_spark.operators.dedup import (minhash_candidates_against,
+                                             minhash_signatures)
+
+    viral = ("subscribe newsletter terms of service privacy policy "
+             "all rights reserved contact about careers " * 3)
+    seen_docs = spark.createDataFrame(
+        [(i, viral) for i in range(300)] + [(999, "a distinct real page "
+                                            "with its own words here")],
+        "doc_id long, text string")
+    seen = minhash_signatures(seen_docs)
+    batch = spark.createDataFrame(
+        [(100000, viral),              # matches a hot (capped) family
+         (100001, None),               # null text: no signature
+         (100002, "xy")],              # shingle-less: no signature
+        "doc_id long, text string")
+    cand = minhash_candidates_against(batch, seen, max_bucket=200)
+    rows = cand.collect()
+    # the 300-strong viral bucket exceeds the cap in EVERY band -> no
+    # quadratic fan-out; null/tiny docs match nothing
+    assert not [r for r in rows if r.batch_id in (100001, 100002)]
+    assert len(rows) <= 300
