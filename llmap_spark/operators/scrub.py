@@ -71,11 +71,18 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     the same rule exact_dedup applies to NULL fingerprints).
 
     Winner selection is a groupBy on the paragraph fingerprint with a
-    min(struct(id, idx)) aggregate: partial aggregation collapses hot
-    fingerprints map-side, so pathological boilerplate (the exact thing
-    paragraph dedup exists to kill) costs one group, not a skewed window
-    sort. Reassembly is a groupBy(id) over paragraph-sized rows —
-    collect_list is bounded by a single document's paragraph count.
+    min(struct(id, idx, para)) aggregate: partial aggregation collapses
+    hot fingerprints map-side, so pathological boilerplate (the exact
+    thing paragraph dedup exists to kill) costs one group, not a skewed
+    window sort. Carrying the winner's RAW paragraph inside the same
+    min-struct (it rides the comparison but never decides it — (id, idx)
+    is unique) means the kept rows fall straight out of the aggregate:
+    the earlier join-back of the full paragraph frame against a winners
+    frame re-evaluated the posexplode+md5 subtree a second time and paid
+    an extra exchange (r6 plan audit: 3 parquet scans, 2 Generates, md5
+    x2 -> 2 scans, 1 Generate, md5 x1). Reassembly is a groupBy(id) over
+    winner rows — collect_list is bounded by a single document's
+    paragraph count.
     """
     # \Q..\E: sep is a LITERAL separator, not a regex
     pat = "\\Q" + sep + "\\E"
@@ -94,11 +101,15 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
         .otherwise(F.concat(F.lit("\x00blank:"),
                             F.col(id_col).cast("string"), F.lit(":"),
                             F.col("_idx").cast("string"))))
+    # the winner's (id, idx) is unique, so appending _para to the struct
+    # cannot change which row wins — it just makes the aggregate output
+    # the whole kept row, eliminating the join-back (see docstring)
     winners = paras.groupBy("_fp").agg(
-        F.min(F.struct(F.col(id_col), F.col("_idx"))).alias("_w"))
-    kept = (paras.join(winners, "_fp")
-            .filter((F.col(id_col) == F.col("_w")[id_col])
-                    & (F.col("_idx") == F.col("_w._idx"))))
+        F.min(F.struct(F.col(id_col), F.col("_idx"),
+                       F.col("_para"))).alias("_w"))
+    kept = winners.select(F.col("_w")[id_col].alias(id_col),
+                          F.col("_w._idx").alias("_idx"),
+                          F.col("_w._para").alias("_para"))
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -173,9 +184,12 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     red1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     red2 = F.regexp_replace(red1, IPV4_RE, "<IP>")
     red3 = F.regexp_replace(red2, PHONE_RE, "<PHONE>")
-    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
-    n_ipv4 = F.size(F.regexp_extract_all(red1, F.lit(IPV4_RE), F.lit(0)))
-    n_phones = F.size(F.regexp_extract_all(red2, F.lit(PHONE_RE), F.lit(0)))
+    # regexp_count matches size(regexp_extract_all(.., 0)) exactly (both
+    # count non-overlapping matches) without materializing the match
+    # array per row (r6: map-only stage, ~25% less expression work)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_ipv4 = F.regexp_count(red1, F.lit(IPV4_RE))
+    n_phones = F.regexp_count(red2, F.lit(PHONE_RE))
     return (df.withColumn("text_redacted", red3)
             .withColumn("n_emails", n_emails.cast("int"))
             .withColumn("n_ipv4", n_ipv4.cast("int"))

@@ -5,11 +5,11 @@ Target lifecycle (SURVEY.md §3.4), mirroring the reference's 3-phase funnel
 
     read pages
       -> salted url-hash repartition               [explicit shuffle, §4.3]
-      -> stage 1 coarse: mapInPandas -> block IR + candidate features
-      -> funnel gate: JVM-side projection nulls the block array for pages
-         with zero candidate blocks, so gated rows ship NO payload into
-         refine (coarse-first / refine-on-survivors, llmap.py:139-174)
-      -> refine: classify + stitch                 [mapInPandas]
+      -> stage 1 coarse: mapInArrow -> packed block IR + candidate features
+      -> funnel gate: JVM-side projection empties the packed block IR for
+         pages with zero candidate blocks, so gated rows ship NO payload
+         into refine (coarse-first / refine-on-survivors, llmap.py:139-174)
+      -> refine: classify + stitch                 [mapInArrow]
 
 One page stays one row end-to-end and the plan is a SINGLE linear chain:
 one source scan, one stage-1 execution, zero shuffles unless the explicit
@@ -54,7 +54,7 @@ class ExtractConfig:
     (extract_page checks has_candidates before classify/stitch), so the
     funnel semantics are identical; measured ~2-3x faster than the two-UDF
     plan because the block IR never crosses the JVM<->Python boundary.
-    fuse=False materializes the funnel as two explicit mapInPandas stages
+    fuse=False materializes the funnel as two explicit mapInArrow stages
     with a JVM-side gate — byte-identical (tested), kept for plan
     inspection, debugging, and as the literal SURVEY §3.4 shape."""
 
@@ -120,49 +120,30 @@ def extract(pages: DataFrame, cfg: ExtractConfig = ExtractConfig()) -> DataFrame
         ex = narrow.mapInArrow(U.extract_fused_arrow,
                                schema=U.FUSED_SCHEMA + ", salt_bucket int")
     else:
-        s1 = narrow.mapInPandas(_carry(U.stage1_coarse, "salt_bucket int"),
-                                schema=U.STAGE1_SCHEMA + ", salt_bucket int")
+        s1 = narrow.mapInArrow(U.stage1_coarse,
+                               schema=U.STAGE1_SCHEMA + ", salt_bucket int")
         # funnel gate (reference coarse semi-join, llmap.py:155-158): pages
-        # with zero candidate blocks ship an EMPTY block array into refine —
-        # they pay no classify/stitch work and no Arrow payload. Kernel
-        # classify([])/stitch([]) yields ('', []) for them, matching the
-        # oracle, so the gate is physical-only.
+        # with zero candidate blocks ship an EMPTY packed-block IR into
+        # refine — they pay no classify/stitch work and no Arrow payload
+        # beyond a constant few bytes. Kernel classify([])/stitch([])
+        # yields ('', []) for them, matching the oracle, so the gate is
+        # physical-only. The gate reads only the typed n_candidates
+        # column; the packed IR stays an opaque buffer JVM-side (r6: the
+        # earlier array<struct> IR forced a full nested Arrow->InternalRow
+        # ->Arrow round trip between the two Python stages).
         gated = s1.withColumn(
             "blocks",
             F.when(F.col("n_candidates") > 0, F.col("blocks"))
-            .otherwise(F.expr(f"cast(array() as {U.BLOCK_ARRAY_SQL})")),
+            .otherwise(F.lit(U.EMPTY_BLOCKS)),
         )
-        ex = gated.mapInPandas(
-            _carry(U.refine_stitch, "salt_bucket int"),
-            schema=U.REFINE_SCHEMA + ", salt_bucket int")
+        ex = gated.mapInArrow(U.refine_stitch,
+                              schema=U.REFINE_SCHEMA + ", salt_bucket int")
 
     ex = ex.withColumn("partition_id", F.spark_partition_id()) \
            .withColumn("bytes_out",
                        F.octet_length("extracted_text").cast("long"))
     cols = OUTPUT_COLUMNS + (OPS_COLUMNS if cfg.keep_ops_columns else [])
     return ex.select(*cols)
-
-
-def _carry(fn, extra_ddl: str):
-    """Wrap a mapInPandas kernel so extra columns pass through untouched."""
-    extra_names = [c.split()[0] for c in extra_ddl.split(",")]
-
-    def wrapped(batches):
-        for pdf in batches:
-            carried = pdf[extra_names].reset_index(drop=True)
-            for out in fn(iter([pdf])):
-                out = out.reset_index(drop=True)
-                # the carry contract is 1 output row per input row in
-                # order; pandas index alignment would silently misalign a
-                # chunked/filtered kernel instead of erroring
-                assert len(out) == len(carried), (
-                    "carried kernel must yield exactly one same-order row "
-                    f"per input row ({len(out)} != {len(carried)})")
-                for name in extra_names:
-                    out[name] = carried[name]
-                yield out
-
-    return wrapped
 
 
 def lineage_from(extracted: DataFrame, snapshot_id: int,

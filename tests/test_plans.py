@@ -24,7 +24,8 @@ def test_staged_plan_single_scan_single_stage1(spark, pages_smoke):
                          ExtractConfig(fuse=False)))
     assert plan.count("Scan parquet") == 1
     # exactly two python stages (stage1 + refine), not recomputed per branch
-    assert plan.count("MapInPandas") == 2
+    # r6: both staged stages are mapInArrow (packed-binary block IR)
+    assert plan.count("MapInArrow") == 2
     assert "Exchange" not in plan
 
 
