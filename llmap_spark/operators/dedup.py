@@ -637,8 +637,16 @@ def _union_find_components(spark, edges: DataFrame) -> DataFrame:
     id_type = edges.schema.fields[0].dataType
     schema = StructType([StructField("node", id_type),
                          StructField("component", id_type)])
-    return spark.createDataFrame(
-        [(n, find(n)) for n in parent], schema)
+    # broadcast hint: this frame is bounded by construction (<=
+    # driver_threshold edges -> <= 2x that in nodes, a few MB) but is
+    # RDD-backed, whose sizeInBytes estimate is defaultSizeInBytes
+    # (effectively infinite) — without the hint the keep-list anti-join
+    # downstream planned as a SortMergeJoin that exchanged+sorted BOTH
+    # sides (r6 plan audit, pipeline_kept_docs_before.txt); the hint makes
+    # every consumer join map-side. The distributed CC path returns
+    # cluster-scale labels and is deliberately NOT hinted.
+    return F.broadcast(spark.createDataFrame(
+        [(n, find(n)) for n in parent], schema))
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

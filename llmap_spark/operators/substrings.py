@@ -161,11 +161,16 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
                   .agg(F.sum(F.size("positions")).alias("_sites"))
                   .filter(F.col("_sites") >= 2)
                   .select("h"))
+    # keep the per-gram position ARRAYS through the shuffle and flatten
+    # inside the aggregate — exploding to one row per duplicated position
+    # first shipped the same ints as many thin rows plus a Generate (r6:
+    # same multiset, sort_array(flatten(collect_list)) == sort_array of
+    # the exploded collect_list)
     covered = (
         grams.join(dup_hashes, "h", "left_semi")
-        .select(id_col, F.explode("positions").alias("p"))
         .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("p")).alias("_covered"))
+        .agg(F.sort_array(F.flatten(F.collect_list("positions")))
+             .alias("_covered"))
     )
 
     @pandas_udf(f"struct<{SPAN_SCHEMA}>")

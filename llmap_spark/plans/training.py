@@ -32,13 +32,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def kept_documents(docs: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text",
-                   verify_jaccard: float = 0.5,
-                   cc_max_iter: int = 50,
-                   cc_reliable: bool = False,
-                   cc_checkpoint_dir: str | None = None) -> DataFrame:
-    """Curated keep-list: one row per surviving doc id.
+def _kept_reps(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               verify_jaccard: float = 0.5,
+               cc_max_iter: int = 50,
+               cc_reliable: bool = False,
+               cc_checkpoint_dir: str | None = None) -> DataFrame:
+    """Surviving representatives WITH their text: (id_col, text_col).
+
+    The shared core of kept_documents (which projects the ids) and
+    curated_corpus (which continues scrubbing the text). Returning the
+    text here means curated_corpus does NOT re-scan the corpus and
+    semi-join the keep-list back just to re-attach a column the cached
+    reps frame already carries — at 100 TB that re-attach was a second
+    full corpus scan (r6 optimization; survivors' text is identical to
+    the source text by construction, reps is a row-subset of docs).
 
     A doc survives iff it (1) passes the quality gate, (2) is its exact-hash
     cluster representative, and (3) is the minimum id of its near-dup
@@ -86,7 +94,23 @@ def kept_documents(docs: DataFrame, id_col: str = "doc_id",
         comp.filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias(id_col))
     )
-    return reps.join(near_dup_losers, id_col, "left_anti").select(id_col)
+    return reps.join(near_dup_losers, id_col, "left_anti")
+
+
+def kept_documents(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", **kwargs) -> DataFrame:
+    """Curated keep-list: one row per surviving doc id.
+
+    A doc survives iff it (1) passes the quality gate, (2) is its exact-hash
+    cluster representative, and (3) is the minimum id of its near-dup
+    component (or near-dups with nothing). Deterministic: every rule is
+    integer arithmetic or a seeded hash. Keyword args (verify_jaccard,
+    cc_max_iter, cc_reliable, cc_checkpoint_dir) pass through to the
+    shared _kept_reps core; see its docstring for the cc_reliable=True
+    cluster-deployment note.
+    """
+    return _kept_reps(docs, id_col=id_col, text_col=text_col,
+                      **kwargs).select(id_col)
 
 
 def curated_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
@@ -112,19 +136,18 @@ def curated_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
 
     Returns (id_col, text, n_paras, n_paras_kept, n_emails, n_ipv4,
     n_phones) — `text` is the fully-scrubbed payload. Scale shape: the
-    keep-list attach is a left-semi equi-join on the id; decontamination
-    broadcasts the benchmark gram set (corpus side never shuffles for
-    membership); paragraph dedup is the one wide stage (fingerprint
-    groupBy + reassembly); redaction is map-only JVM regexp. Stages are
-    ordered cheapest-drop-first so the wide paragraph shuffle only sees
-    survivors.
+    keep-list needs NO attach join — the shared _kept_reps core already
+    carries the survivors' text (r6: the earlier left-semi re-attach was
+    a second full corpus scan); decontamination broadcasts the benchmark
+    gram set (corpus side never shuffles for membership); paragraph dedup
+    is the one wide stage (fingerprint groupBy + reassembly); redaction
+    is map-only JVM regexp. Stages are ordered cheapest-drop-first so the
+    wide paragraph shuffle only sees survivors.
     """
     from llmap_spark.operators.scrub import (decontaminate as _decon,
                                              dedup_paragraphs, redact_pii)
 
-    kept = kept_documents(docs, id_col=id_col, text_col=text_col,
-                          **kept_kwargs)
-    out = docs.join(kept, id_col, "left_semi")
+    out = _kept_reps(docs, id_col=id_col, text_col=text_col, **kept_kwargs)
     if nfc:
         # normalize BEFORE paragraph dedup so fingerprints see composed
         # text (representation variants of the same paragraph collapse)
@@ -136,9 +159,10 @@ def curated_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
     # `out` always feeds MULTIPLE branches downstream: dedup_paragraphs
     # references its input twice (paras + counts), and the benchmark path
     # adds the gram explode + anti-join left side. Unpersisted, the
-    # semi-join (and the per-row NFC UDF when enabled) would evaluate once
-    # PER BRANCH — the CLAUDE.md branch-recompute gotcha. Registered for
-    # release_persisted, same contract as the reps persist above.
+    # keep-list anti-join (and the per-row NFC UDF when enabled) would
+    # evaluate once PER BRANCH — the CLAUDE.md branch-recompute gotcha.
+    # Registered for release_persisted, same contract as the reps persist
+    # in _kept_reps.
     from llmap_spark.cache import register_persisted
 
     out = register_persisted(out.persist())
