@@ -50,11 +50,6 @@ from llmap_spark.session import ensure_parallelism
 
 from llmap_spark.operators.fingerprints import _rolling_hashes_bytes
 
-SPAN_SCHEMA = ("n_spans int, n_dup_chars int, "
-               "spans array<struct<start: int, end: int>>, "
-               "text_deduped string")
-
-
 def _normalize(text: str) -> str:
     """Whitespace-squeeze + ASCII-only lowercase — the CDC/kernel fold
     (full str.lower() changes LENGTH for some Unicode and diverges from
@@ -173,27 +168,53 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
              .alias("_covered"))
     )
 
-    @pandas_udf(f"struct<{SPAN_SCHEMA}>")
-    def finish(texts: pd.Series, covered_col: pd.Series) -> pd.DataFrame:
-        rows = {"n_spans": [], "n_dup_chars": [], "spans": [],
-                "text_deduped": []}
+    # TWO UDFs, not one struct (r6): consumers that never read
+    # text_deduped — the bench query projects only the stats — let column
+    # pruning drop the `detext` evaluation entirely (trim + utf-8
+    # round-trip of every document). `detext` reuses the spans `stats`
+    # already merged, so nothing is computed twice when both are read.
+    @pandas_udf("struct<n_spans: int, n_dup_chars: int, "
+                "spans: array<struct<start: int, end: int>>>")
+    def stats(texts: pd.Series, covered_col: pd.Series) -> pd.DataFrame:
+        rows = {"n_spans": [], "n_dup_chars": [], "spans": []}
         for t, cov in zip(texts, covered_col):
+            if cov is None:
+                rows["n_spans"].append(0)
+                rows["n_dup_chars"].append(0)
+                rows["spans"].append([])
+                continue
             b = _normalize(t).encode("utf-8")
-            starts = [] if cov is None else [int(p) for p in cov]
-            spans = merge_covered(starts, min_len, len(b))
+            spans = merge_covered([int(p) for p in cov], min_len, len(b))
             rows["n_spans"].append(len(spans))
             rows["n_dup_chars"].append(sum(e - s for s, e in spans))
             rows["spans"].append(
                 [{"start": s, "end": e} for s, e in spans])
-            rows["text_deduped"].append(
-                trim_spans(b, spans).decode("utf-8", errors="replace"))
         return pd.DataFrame(rows)
 
+    @pandas_udf("string")
+    def detext(texts: pd.Series, spans_col: pd.Series) -> pd.Series:
+        out = []
+        for t, sp in zip(texts, spans_col):
+            norm = _normalize(t)
+            # sp arrives as a numpy array of span dicts; truth-test by
+            # length (bare `not sp` is ambiguous on numpy arrays)
+            if sp is None or len(sp) == 0:
+                # no covered spans: trim is the identity on the
+                # normalized text (encode/decode round-trip elided)
+                out.append(norm)
+                continue
+            out.append(trim_spans(
+                norm.encode("utf-8"),
+                [(int(s["start"]), int(s["end"])) for s in sp]
+            ).decode("utf-8", errors="replace"))
+        return pd.Series(out)
+
     out = (df.join(covered, [id_col], "left")
-           .withColumn("_sd", finish(F.col(text_col), F.col("_covered")))
+           .withColumn("_sd", stats(F.col(text_col), F.col("_covered")))
            .select(*df.columns,
                    F.col("_sd.n_spans").alias("n_spans"),
                    F.col("_sd.n_dup_chars").alias("n_dup_chars"),
-                   F.col("_sd.spans").alias("spans"),
-                   F.col("_sd.text_deduped").alias("text_deduped")))
+                   F.col("_sd.spans").alias("spans"))
+           .withColumn("text_deduped",
+                       detext(F.col(text_col), F.col("spans"))))
     return out
