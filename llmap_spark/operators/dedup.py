@@ -100,38 +100,6 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def exact_representatives(df: DataFrame, id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
-    """The representatives-only formulation of exact_dedup: one row per
-    exact-hash cluster — the min-id winner with its text — as ONE
-    aggregate, no join-back and no fingerprint cache.
-
-    Identical survivor set to
-    `exact_dedup(df).filter(~is_dup).select(id, text)` (pinned by
-    pytest): appending the text to the min-struct cannot change which
-    row wins because the id is unique, exactly the dedup_paragraphs
-    winner trick. NULL-fingerprint (unknown-content) rows get a
-    per-row synthetic group key so each survives as its own
-    representative — never a shared null bucket (the exact_dedup rule).
-
-    Scale shape: partial aggregation keeps ONE (id, text) per
-    fingerprint per map partition, so a boilerplate page duplicated
-    10^8 times shuffles one winner candidate per partition instead of
-    joining the full-width corpus back against a winners frame. Use
-    exact_dedup when every row needs its verdict (rep_id / is_dup);
-    use this when only the survivors move forward (the curation
-    chain)."""
-    slim = fingerprint(df.select(id_col, text_col), text_col)
-    key = F.coalesce(
-        F.col("fingerprint"),
-        F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")))
-    return (slim.groupBy(key.alias("_k"))
-            .agg(F.min(F.struct(F.col(id_col), F.col(text_col)))
-                 .alias("_w"))
-            .select(F.col("_w")[id_col].alias(id_col),
-                    F.col(f"_w.{text_col}").alias(text_col)))
-
-
 def exact_dedup_against(df: DataFrame, seen: DataFrame,
                         text_col: str = "text",
                         seen_fp_col: str = "fingerprint") -> DataFrame:

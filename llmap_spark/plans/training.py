@@ -59,17 +59,14 @@ def _kept_reps(docs: DataFrame, id_col: str = "doc_id",
     the corpus makes CC run longer than executor MTBF.
     """
     from llmap_spark.operators.dedup import (connected_components,
-                                             exact_representatives,
+                                             exact_dedup,
                                              minhash_lsh_candidates)
     from llmap_spark.operators.textstats import quality_features
 
     q = quality_features(docs, text_col=text_col).filter(F.col("q_keep"))
-    # representatives-only exact dedup (r6): the chain never reads
-    # per-row verdicts, so the winners fall out of ONE aggregate — no
-    # fingerprint cache, no join-back of the full-width corpus
-    # (exact_representatives docstring; survivor set identical to
-    # exact_dedup + filter, pinned in pytest)
-    reps = exact_representatives(q, id_col=id_col, text_col=text_col)
+    reps = exact_dedup(q, id_col=id_col, text_col=text_col) \
+        .filter(~F.col("is_dup")) \
+        .select(id_col, text_col)
     # reps feeds BOTH the LSH stage (materialized eagerly below, which
     # populates this cache) and the final anti-join — persisting avoids a
     # second full quality+window pass over the corpus (measured ~40% off

@@ -429,31 +429,6 @@ def test_exact_dedup_null_text_never_dup(spark):
         assert got[d] == (d, False)
 
 
-def test_exact_representatives_matches_exact_dedup_filter(spark):
-    """The aggregate-only survivors formulation (r6, used by the curation
-    chain) must select EXACTLY the rows exact_dedup(df).filter(~is_dup)
-    keeps — including whitespace-variant duplicates (same fingerprint,
-    different raw text: the min-ID row's raw text must win) and
-    null-text rows (each its own representative, never a shared null
-    bucket)."""
-    from pyspark.sql import functions as F
-
-    from llmap_spark.operators.dedup import exact_dedup, exact_representatives
-
-    rows = [(1, "same real content here"), (2, "same  real content\nhere"),
-            (3, None), (4, None), (5, "unique content"),
-            (9, "same real content here"), (0, "same real content here ")]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    want = sorted((r.doc_id, r.text) for r in exact_dedup(df)
-                  .filter(~F.col("is_dup")).select("doc_id", "text")
-                  .collect())
-    got = sorted((r.doc_id, r.text)
-                 for r in exact_representatives(df).collect())
-    assert got == want
-    # the winner keeps ITS OWN raw text (doc 0's trailing-space variant)
-    assert (0, "same real content here ") in got
-
-
 def test_exact_dedup_preserves_rows_and_extra_columns(spark):
     """The verdict re-attach must neither drop nor multiply rows: every
     input row (including a pathological NULL-id one) comes back exactly
