@@ -602,11 +602,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # --------------------------------------------------------------------------
 
 def _union_find_components(spark, edges: DataFrame) -> DataFrame:
-    """Driver-side union-find over a bounded, already-materialized edge
-    frame (mirrored + distinct). Every union attaches the larger root
-    under the smaller, so each set's root IS its minimum id — labels match
-    the distributed min-label fixpoint exactly (pinned by pytest running
-    both paths on the same graphs)."""
+    """Driver-side union-find over a bounded, already-materialized pair
+    frame. Duplicate pairs and edge direction are irrelevant to
+    union-find (union is symmetric and idempotent), so the RAW pair set
+    works — no mirroring or distinct needed (r6: the driver fast path
+    used to pay a distinct exchange and a doubled checkpoint write for a
+    canonical edge set only the distributed fixpoint needs). Every union
+    attaches the larger root under the smaller, so each set's root IS
+    its minimum id — labels match the distributed min-label fixpoint
+    exactly (pinned by pytest running both paths on the same graphs)."""
     parent: dict = {}
 
     def find(x):
@@ -695,18 +699,22 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     non-SQL-expressible, so the driver records rows-only for it and pytest
     checks it against a driver-side union-find on small data (both modes).
 
-    Adaptive small-graph fast path: after the (always-paid) one-time edge
-    materialization, if the DIRECTED edge count is <= driver_threshold the
-    component labels are computed by a driver-side union-find on one
-    bounded Arrow collect — identical labels (component = min reachable
-    id), zero iterative rounds. Near-dup candidate edges are typically a
-    tiny fraction of corpus rows even at 100 TB, so most runs take this
-    path; bigger graphs run the distributed loop. The default (250k
-    directed edges) is sized for the PYTHON-side cost, which dominates:
-    the Arrow frame itself is ~4 MB, but the union-find's parent dict
-    boxes up to 2 ids per edge (~60-100 MB at the default) — a 1g-driver-
-    safe bound. Pass driver_threshold=0 to force the distributed path
-    (the pytest pinning round-count/convergence semantics does).
+    Adaptive small-graph fast path: after the (always-paid) one-time
+    materialization of the raw pair set, if 2x the pair count (an upper
+    bound on the directed edge count — duplicates only shrink it) is
+    <= driver_threshold the component labels are computed by a
+    driver-side union-find on one bounded Arrow collect of the RAW pairs
+    — identical labels (component = min reachable id), zero iterative
+    rounds, and no mirrored/distinct edge set to build (union-find is
+    direction- and duplicate-agnostic). Near-dup candidate edges are
+    typically a tiny fraction of corpus rows even at 100 TB, so most
+    runs take this path; bigger graphs build the canonical edge set and
+    run the distributed loop. The default (250k directed edges) is sized
+    for the PYTHON-side cost, which dominates: the Arrow frame itself is
+    ~4 MB, but the union-find's parent dict boxes up to 2 ids per edge
+    (~60-100 MB at the default) — a 1g-driver-safe bound. Pass
+    driver_threshold=0 to force the distributed path (the pytest pinning
+    round-count/convergence semantics does).
     """
     spark = pairs.sparkSession
     if reliable:
@@ -725,18 +733,27 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         def ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
-    edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+    # materialize the RAW pair set ONCE up front: the size probe and every
+    # downstream consumer read this checkpoint, so a lazy `pairs` plan
+    # (e.g. a full LSH pipeline) is evaluated exactly once — unmaterialized
+    # it would be recomputed per round, measured 9x slower on the composed
+    # curation chain. r6: the mirrored+distinct canonical edge set is
+    # built only on the DISTRIBUTED path — union-find is direction- and
+    # duplicate-agnostic, so the common driver fast path skips that
+    # distinct exchange and the doubled checkpoint write.
+    pairs_m = ckpt(pairs.select(F.col(id_a).alias("a"),
+                                F.col(id_b).alias("b")))
+    # 2x raw pairs bounds the directed edge count from above (duplicates
+    # only shrink it), so this probe is conservative: never sends a graph
+    # to the driver that the directed-edge rule would have kept
+    # distributed. Label output is identical on both paths (pinned).
+    if driver_threshold and 2 * pairs_m.count() <= driver_threshold:
+        return _union_find_components(spark, pairs_m)
+    edges = ckpt(
+        pairs_m.union(pairs_m.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
         .distinct()
     )
-    # materialize the edge set ONCE before iterating: every round joins
-    # against it, and a lazy `pairs` plan (e.g. a full LSH pipeline) would
-    # otherwise be recomputed per round — measured 9x slower on the
-    # composed curation chain
-    edges = ckpt(edges)
-    if driver_threshold and edges.count() <= driver_threshold:
-        return _union_find_components(spark, edges)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
