@@ -76,6 +76,57 @@ def test_winnow_overlap_single_udf_pass(spark):
     assert plan.count("ArrowEvalPython") == 1
 
 
+def test_paragraph_dedup_single_paragraph_pass(spark):
+    """r6 rewrite pin: winner selection carries the paragraph inside the
+    min-struct aggregate, so the plan evaluates the posexplode+md5
+    subtree ONCE (exactly one Generate) and never joins the paragraph
+    frame back against a winners frame. The old join-back shape showed 2
+    Generates and 3 source scans."""
+    from llmap_spark.operators.scrub import dedup_paragraphs
+
+    d = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "b\n\nc")], "doc_id long, text string")
+    plan = _plan(dedup_paragraphs(d))
+    assert plan.count("Generate") == 1
+
+
+def test_cc_driver_labels_broadcast_into_keeplist_join(spark):
+    """r6 pin: the union-find fast path's labels are RDD-backed (no
+    usable size stats), so without the source-side broadcast hint the
+    keep-list anti-join planned as a SortMergeJoin exchanging+sorting
+    BOTH sides. The hint must keep it a broadcast join."""
+    from pyspark.sql import functions as F
+
+    from llmap_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    comp = connected_components(pairs)
+    base = spark.range(20).withColumnRenamed("id", "doc_id")
+    losers = comp.filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias("doc_id"))
+    plan = _plan(base.join(losers, "doc_id", "left_anti"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_substring_stats_projection_prunes_text_udf(spark):
+    """r6 pin: the split finish UDFs let a stats-only projection drop the
+    text_deduped evaluation (trim + utf-8 round-trip per doc) entirely;
+    a single struct UDF made that impossible. Both UDFs must appear when
+    text_deduped IS selected."""
+    from llmap_spark.operators.substrings import substring_dedup
+
+    d = spark.createDataFrame(
+        [(1, "x" * 60), (2, "x" * 60)], "doc_id long, text string")
+    stats_only = _plan(substring_dedup(d, min_len=20)
+                       .select("doc_id", "n_spans", "n_dup_chars"))
+    assert "detext" not in stats_only and "stats" in stats_only
+    full = _plan(substring_dedup(d, min_len=20)
+                 .select("doc_id", "text_deduped"))
+    assert "detext" in full
+
+
 def test_ensure_parallelism_widens_only_bare_scans(spark, tmp_path):
     """The single-split UDF-serialization guard: a one-file scan fans out
     to defaultParallelism, an already-wide input passes through untouched,
