@@ -759,7 +759,7 @@ _LANGID_SNIPPETS: list[tuple[str, str]] = [
 
 
 def _q_lang_id2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """26+-language identification (operators/langid.py: script-range
+    """35-language identification (operators/langid.py: script-range
     counting + marker-word argmax, shared total kernel), hash-verified by
     the planted snippet cycle: text is REPLACED by the snippet for
     language (doc_id % 36), so every (pred_lang, pred_script, n_letters)
